@@ -1,0 +1,49 @@
+"""Dataset registry (get_dataset factory, scripts/splatam.py:271-295)."""
+from __future__ import annotations
+
+from .base import RGBDDataset, natsorted
+from .dataconfig import load_dataset_config
+from .replica import ReplicaDataset, ReplicaV2Dataset
+from .synthetic import SyntheticDataset
+
+
+def get_dataset(config_dict: dict, basedir: str, sequence: str, **kwargs):
+    name = config_dict["dataset_name"].lower()
+    if name == "replica":
+        return ReplicaDataset(config_dict, basedir, sequence, **kwargs)
+    if name == "replicav2":
+        return ReplicaV2Dataset(config_dict, basedir, sequence, **kwargs)
+    if name == "synthetic":
+        return SyntheticDataset(
+            num_frames=kwargs.get("num_frames", 20),
+            height=kwargs.get("desired_height", 120),
+            width=kwargs.get("desired_width", 160),
+            seed=kwargs.get("seed", 0))
+    if name in ("icl",):
+        from .icl import ICLDataset
+        return ICLDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("tum",):
+        from .tum import TUMDataset
+        return TUMDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("scannet",):
+        from .scannet import ScannetDataset
+        return ScannetDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("scannetpp",):
+        from .scannetpp import ScannetPPDataset
+        return ScannetPPDataset(basedir, sequence, **kwargs)
+    if name in ("nerfcapture",):
+        from .nerfcapture import NeRFCaptureDataset
+        return NeRFCaptureDataset(basedir, sequence, **kwargs)
+    if name in ("azure", "azurekinect"):
+        from .azure import AzureKinectDataset
+        return AzureKinectDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("record3d",):
+        from .record3d import Record3DDataset
+        return Record3DDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("realsense",):
+        from .realsense import RealsenseDataset
+        return RealsenseDataset(config_dict, basedir, sequence, **kwargs)
+    if name in ("ai2thor",):
+        from .ai2thor import Ai2thorDataset
+        return Ai2thorDataset(config_dict, basedir, sequence, **kwargs)
+    raise ValueError(f"Unknown dataset name {config_dict['dataset_name']}")

@@ -1,0 +1,129 @@
+"""IsoGS geometric regularizers: flatness loss + iso-surface density loss.
+
+Reference semantics:
+  * flat loss  = mean over Gaussians of min(sx, sy, sz)
+    (`compute_flat_loss`, scripts/splatam.py:44-56; CUDA analog
+    cpp/cuda/kernels/flat_loss.cu)
+  * iso loss: sample Q Gaussian centers as query points, find K=16 nearest
+    Gaussians, density D(p) = sum_j alpha_j exp(-0.5 d^T Sigma_j^{-1} d)
+    with Sigma^{-1} = R S^{-2} R^T, loss = mean((D - target)^2)
+    (`compute_iso_surface_loss_sampled`, scripts/splatam.py:162-265,
+    invocation 614-672; CUDA analog cpp/cuda/kernels/iso_loss.cu +
+    spatial_hash.cu KNN)
+
+TPU-first design: the chunked torch.cdist + topk of the reference becomes a
+lax.scan over capacity blocks with a running top-K merge; each block's
+distance matrix is one [Q_chunk, B] matmul (MXU) and the merge is
+lax.top_k over K+B candidates. Everything is differentiable — the analytic
+gradient kernels of the CUDA tree (iso_loss.cu:117-142's atomicAdd scatter)
+fall out of jax.grad for free.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.transforms import normalize, quat_to_rotmat
+
+
+def flat_loss(log_scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """mean over alive Gaussians of min(exp(log_scales), axis=1), with the
+    1e-5 clamp of splatam.py:577-579."""
+    scales = jnp.maximum(jnp.exp(log_scales), 1e-5)
+    mins = jnp.min(scales, axis=1)
+    n = jnp.maximum(jnp.sum(alive.astype(mins.dtype)), 1.0)
+    return jnp.sum(jnp.where(alive, mins, 0.0)) / n
+
+
+def knn_blocked(queries: jnp.ndarray, points: jnp.ndarray,
+                valid: jnp.ndarray, k: int, block: int = 8192):
+    """K nearest neighbors of `queries` [Q,3] among `points` [C,3] rows where
+    `valid`; returns (sq_dists [Q,K], indices [Q,K]).
+
+    Streaming top-K merge over capacity blocks keeps peak memory at
+    [Q, block] while the distance computation stays a matmul.
+    """
+    Q = queries.shape[0]
+    C = points.shape[0]
+    block = min(block, C)
+    pad = (-C) % block
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad, 3), points.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    nb = (C + pad) // block
+    pts = points.reshape(nb, block, 3)
+    vld = valid.reshape(nb, block)
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)     # [Q,1]
+
+    init_d = jnp.full((Q, k), jnp.inf, queries.dtype)
+    init_i = jnp.zeros((Q, k), jnp.int32)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        p, m, base = xs
+        p_sq = jnp.sum(p * p, axis=-1)                            # [B]
+        d2 = q_sq + p_sq[None, :] - 2.0 * (queries @ p.T)         # [Q,B]
+        d2 = jnp.where(m[None, :], d2, jnp.inf)
+        idx = base + jnp.arange(block, dtype=jnp.int32)
+        cand_d = jnp.concatenate([best_d, d2], axis=1)
+        cand_i = jnp.concatenate([best_i,
+                                  jnp.broadcast_to(idx, (Q, block))], axis=1)
+        neg_top, arg = jax.lax.top_k(-cand_d, k)
+        new_i = jnp.take_along_axis(cand_i, arg, axis=1)
+        return (-neg_top, new_i), None
+
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i),
+                                       (pts, vld, bases))
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
+                     log_scales: jnp.ndarray, logit_opacities: jnp.ndarray,
+                     alive: jnp.ndarray, key: jax.Array,
+                     sample_size: int = 8192, k: int = 16,
+                     target_saturation: float = 1.0,
+                     knn_block: int = 8192):
+    """Sampled iso-surface density loss. Returns (loss, mean_density).
+
+    Query points are a fresh random subset of alive Gaussian centers each
+    call (stochastic sampling of splatam.py:645-655); gradients flow into
+    both queries and neighbors, as in the reference.
+    """
+    C = means.shape[0]
+    # random alive subset: perturbed keys, smallest-first -> uniform subset
+    scores = jax.random.uniform(key, (C,)) + jnp.where(alive, 0.0, 2.0)
+    _, q_idx = jax.lax.top_k(-scores, min(sample_size, C))
+    q_valid = alive[q_idx]
+    queries = means[q_idx]                                         # [Q,3]
+
+    # KNN over alive Gaussians (indices are order statistics; stop grads)
+    d2, nbr = knn_blocked(jax.lax.stop_gradient(queries),
+                          jax.lax.stop_gradient(means), alive, k, knn_block)
+
+    # Neighbor data (gathered; Sigma^{-1} built only on the [Q,K] set
+    # instead of all N as the reference does — same math, less memory)
+    n_means = means[nbr]                                           # [Q,K,3]
+    n_quats = normalize(unnorm_rotations[nbr])                     # [Q,K,4]
+    n_scales = jnp.maximum(jnp.exp(log_scales[nbr]), 1e-5)         # [Q,K,3]
+    n_op = jax.nn.sigmoid(logit_opacities[nbr][..., 0])            # [Q,K]
+    n_valid = alive[nbr] & jnp.isfinite(d2)                        # [Q,K]
+
+    R = quat_to_rotmat(n_quats)                                    # [Q,K,3,3]
+    s_inv_sq = 1.0 / (n_scales ** 2 + 1e-8)                        # [Q,K,3]
+    delta = queries[:, None, :] - n_means                          # [Q,K,3]
+    # d^T R S^-2 R^T d = sum_axis s_inv_sq * (R^T d)^2
+    rtd = jnp.einsum("qkij,qkj->qki", jnp.swapaxes(R, -1, -2), delta)
+    quad = jnp.sum(s_inv_sq * rtd * rtd, axis=-1)                  # [Q,K]
+    dens = jnp.where(n_valid, n_op * jnp.exp(-0.5 * quad), 0.0)
+    density = jnp.sum(dens, axis=-1)                               # [Q]
+
+    err = (density - target_saturation) ** 2
+    nq = jnp.maximum(jnp.sum(q_valid.astype(err.dtype)), 1.0)
+    loss = jnp.sum(jnp.where(q_valid, err, 0.0)) / nq
+    mean_density = jnp.sum(jnp.where(q_valid, density, 0.0)) / nq
+    return loss, mean_density

@@ -1,0 +1,395 @@
+"""TPU-native differentiable 3D Gaussian rasterizer (JAX/XLA).
+
+This replaces the CUDA `diff-gaussian-rasterization-w-depth` extension the
+reference consumes (`python_ordinary/utils/recon_helpers.py:2-27`,
+`scripts/splatam.py:39,529-533`) and finishes what the reference's C++ port
+left incomplete — the backward pass (`cpp/src/rendering/renderer.cpp:220-232`
+only wires gsplat forward kernels; gradients were zeroed TODOs,
+`cpp/src/slam/mapper.cpp:385-405`).
+
+Numerics follow the EWA-splatting forward of the original 3DGS CUDA kernels
+so golden images match the reference pipeline:
+
+  * camera-frame mean -> pixel:  u = fx*x/(z+1e-7) + cx - 0.5   (the algebraic
+    reduction of the OpenGL projection matrix built in recon_helpers.py:9-13)
+  * 2D covariance: cov2d = J W Sigma Wt Jt + 0.3*I with the 1.3*tanfov
+    frustum clamp in the Jacobian
+  * near-plane cull at z <= 0.2, alpha = min(0.99, op*exp(power)),
+    skip when power > 0 or alpha < 1/255, terminate when transmittance
+    would drop below 1e-4
+  * per-16x16-tile, front-to-back depth order
+
+TPU-first design instead of a CUDA translation:
+
+  * Sequential per-pixel alpha blending is re-expressed with exclusive
+    cumulative products of (1 - alpha) along the depth-sorted axis:
+    w_i = a_i * prod_{j<i}(1 - a_j). That is *exactly* the sequential
+    front-to-back recurrence, but it becomes a cumprod + one matmul per tile
+    ([K, pixels]^T @ [K, channels]) which maps onto the MXU, and it is
+    trivially differentiable so jax.grad provides the backward pass the C++
+    port never finished.
+  * Tile binning is a fixed-capacity sort pipeline (global depth argsort +
+    stable counting-style argsort by tile id) rather than atomically
+    appended GPU lists: static shapes for XLA, graceful overflow.
+  * Everything is shape-static: the Gaussian arrays are fixed-capacity with
+    an alive count `n`, the intersection buffer has capacity `max_isect`,
+    and each tile composites at most `max_per_tile` front-most Gaussians
+    (transmittance saturates far earlier; overflow is reported).
+
+The whole render (projection -> binning -> compositing) is jit-compatible
+and differentiable wrt means/quats/scales/opacities/features and the
+camera pose upstream of them.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera, TILE
+from ..utils.transforms import quat_to_rotmat
+
+# CUDA-kernel constants (match diff-gaussian-rasterization)
+NEAR_CULL_Z = 0.2
+LOW_PASS = 0.3
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer sizing. All fields participate in jit cache keys."""
+
+    max_per_tile: int = 512   # front-most Gaussians composited per tile
+    isect_per_gaussian: float = 4.0  # max_isect = N * this (capacity heuristic)
+    tile_chunk: int = 256     # tiles composited per lax.map step (memory knob)
+
+    def max_isect(self, num_gaussians: int) -> int:
+        m = int(num_gaussians * self.isect_per_gaussian)
+        # keep sort sizes friendly: round up to a multiple of 1024
+        return max(1024, (m + 1023) // 1024 * 1024)
+
+
+class Projected(NamedTuple):
+    u: jnp.ndarray        # [N] pixel x of the projected mean
+    v: jnp.ndarray        # [N] pixel y
+    depth: jnp.ndarray    # [N] camera z
+    conic: jnp.ndarray    # [N, 3] (A, B, C) inverse 2D covariance
+    radius: jnp.ndarray   # [N] int32 3-sigma pixel radius (0 = culled)
+    valid: jnp.ndarray    # [N] bool
+    rect_min: jnp.ndarray  # [N, 2] int32 tile rect (x, y) inclusive-min
+    rect_max: jnp.ndarray  # [N, 2] int32 tile rect exclusive-max
+
+
+def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
+                      log_scales: jnp.ndarray, alive: jnp.ndarray,
+                      cam: Camera,
+                      means2d_offset: jnp.ndarray | None = None) -> Projected:
+    """Per-Gaussian EWA projection (the analog of gsplat's
+    `projection_ewa_3dgs_fused_fwd` used at cpp/src/rendering/renderer.cpp:83-100).
+
+    means_cam: [N,3] camera-frame centers; quats: [N,4] camera-frame
+    orientation (w,x,y,z, unnormalized ok); log_scales: [N,3];
+    alive: [N] bool mask of real Gaussians.
+    means2d_offset: optional [N,2] zero tensor whose gradient is the
+    densification signal (the reference's `means2D.retain_grad()` pattern,
+    scripts/splatam.py:528-530).
+    """
+    tx, ty, tz = means_cam[:, 0], means_cam[:, 1], means_cam[:, 2]
+    tz_safe = tz + 1e-7
+
+    u = cam.fx * tx / tz_safe + cam.cx - 0.5
+    v = cam.fy * ty / tz_safe + cam.cy - 0.5
+    if means2d_offset is not None:
+        u = u + means2d_offset[:, 0]
+        v = v + means2d_offset[:, 1]
+
+    # 3D covariance Sigma = (R S)(R S)^T
+    R = quat_to_rotmat(quats)                      # [N,3,3]
+    s = jnp.exp(log_scales)                        # [N,3]
+    RS = R * s[:, None, :]
+    sigma = RS @ jnp.swapaxes(RS, 1, 2)            # [N,3,3]
+
+    # Frustum-clamped perspective Jacobian. CUDA uses raw t.z here (the
+    # 1e-7 guard only applies to the homogeneous divide above); guard z=0
+    # without perturbing values that survive the near cull.
+    tz_nz = jnp.where(tz == 0, 1e-7, tz)
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    txc = jnp.clip(tx / tz_nz, -limx, limx) * tz
+    tyc = jnp.clip(ty / tz_nz, -limy, limy) * tz
+    inv_z = 1.0 / tz_nz
+    inv_z2 = inv_z * inv_z
+    # J = [[fx/z, 0, -fx*tx/z^2], [0, fy/z, -fy*ty/z^2]]
+    j00 = cam.fx * inv_z
+    j02 = -cam.fx * txc * inv_z2
+    j11 = cam.fy * inv_z
+    j12 = -cam.fy * tyc * inv_z2
+    # cov2d = J Sigma J^T (2x2 symmetric), expanded to avoid 3x3 matmuls
+    s00, s01, s02 = sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2]
+    s11, s12, s22 = sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]
+    # rows of J Sigma: r0 = j00*S[0,:] + j02*S[2,:]; r1 = j11*S[1,:] + j12*S[2,:]
+    r0x = j00 * s00 + j02 * s02
+    r0z = j00 * s02 + j02 * s22
+    r1y = j11 * s11 + j12 * s12
+    r1z = j11 * s12 + j12 * s22
+    c00 = r0x * j00 + r0z * j02 + LOW_PASS
+    c01 = (j00 * s01 + j02 * s12) * j11 + r0z * j12
+    c11 = r1y * j11 + r1z * j12 + LOW_PASS
+
+    det = c00 * c11 - c01 * c01
+    det_safe = jnp.where(det != 0, det, 1.0)
+    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lam1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+    valid = alive & (tz > NEAR_CULL_Z) & (det != 0)
+
+    # Tile rect (inclusive min, exclusive max), CUDA getRect semantics
+    gx, gy = cam.tiles_x, cam.tiles_y
+    rxmin = jnp.clip(jnp.floor((u - radius_f) / TILE), 0, gx).astype(jnp.int32)
+    rymin = jnp.clip(jnp.floor((v - radius_f) / TILE), 0, gy).astype(jnp.int32)
+    rxmax = jnp.clip(jnp.floor((u + radius_f + TILE - 1) / TILE), 0, gx).astype(jnp.int32)
+    rymax = jnp.clip(jnp.floor((v + radius_f + TILE - 1) / TILE), 0, gy).astype(jnp.int32)
+    tiles_touched = jnp.maximum(rxmax - rxmin, 0) * jnp.maximum(rymax - rymin, 0)
+    valid = valid & (tiles_touched > 0) & (radius_f > 0)
+
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    return Projected(u=u, v=v, depth=tz, conic=conic, radius=radius,
+                     valid=valid,
+                     rect_min=jnp.stack([rxmin, rymin], axis=-1),
+                     rect_max=jnp.stack([rxmax, rymax], axis=-1))
+
+
+class Binning(NamedTuple):
+    tile_gauss: jnp.ndarray   # [num_tiles, K] int32 gaussian index per slot
+    tile_count: jnp.ndarray   # [num_tiles] int32 valid slots (<= K)
+    n_isect: jnp.ndarray      # [] int32 total intersections generated
+    n_overflow: jnp.ndarray   # [] int32 intersections dropped (isect or K cap)
+
+
+def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
+    """Depth-ordered per-tile Gaussian lists with static shapes.
+
+    Replaces the CUDA `intersect_tile`/`intersect_offset` duplication + 64-bit
+    radix sort (renderer.cpp:192-212) with: global depth argsort (N keys),
+    fixed-capacity intersection expansion via jnp.repeat, stable argsort by
+    tile id (preserving depth order within a tile), and searchsorted range
+    extraction.
+    """
+    N = proj.u.shape[0]
+    num_tiles = cam.num_tiles
+    K = cfg.max_per_tile
+    M = cfg.max_isect(N)
+
+    # indices are order statistics; no gradients flow through them
+    depth = jax.lax.stop_gradient(proj.depth)
+    sort_key = jnp.where(proj.valid, depth, jnp.inf)
+    order = jnp.argsort(sort_key)                  # [N] gaussian ids, near->far
+
+    rect_min = proj.rect_min[order]
+    rect_max = proj.rect_max[order]
+    span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
+    span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
+    counts = jnp.where(proj.valid[order], span_x * span_y, 0).astype(jnp.int32)
+    offs = jnp.cumsum(counts) - counts             # exclusive prefix sum
+    total = offs[-1] + counts[-1]
+
+    # expand: one entry per (gaussian, covered tile), in global depth order
+    src = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
+                     total_repeat_length=M)        # index into `order`
+    pos = jnp.arange(M, dtype=jnp.int32)
+    local = pos - offs[src]
+    sx = jnp.maximum(span_x[src], 1)
+    tile_x = rect_min[src, 0] + local % sx
+    tile_y = rect_min[src, 1] + local // sx
+    tile_id = tile_y * cam.tiles_x + tile_x
+    # padding/truncation sentinel: sorts after every real tile
+    in_range = pos < jnp.minimum(total, M)
+    tile_id = jnp.where(in_range, tile_id, num_tiles).astype(jnp.int32)
+
+    # stable sort by tile keeps near->far order within each tile
+    perm = jnp.argsort(tile_id, stable=True)
+    sorted_tile = tile_id[perm]
+    sorted_gauss = order[src][perm]
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    full_count = ends - starts
+    tile_count = jnp.minimum(full_count, K)
+
+    slots = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(slots, 0, M - 1)
+    tile_gauss = sorted_gauss[slots]               # [num_tiles, K]
+
+    n_overflow = jnp.maximum(total - M, 0) + jnp.sum(full_count - tile_count)
+    return Binning(tile_gauss=tile_gauss, tile_count=tile_count,
+                   n_isect=total, n_overflow=n_overflow)
+
+
+def _composite_chunk(gdata, counts, origins, F: int):
+    """Composite one chunk of tiles.
+
+    gdata: [C, K, 6+F] per-slot records (u, v, A, B, Bc, op is packed as
+    u, v, conic(3), opacity, features[F]); counts: [C]; origins: [C, 2] pixel
+    origin (x, y) of each tile. Returns ([C, TILE*TILE, F], [C, TILE*TILE]).
+
+    The exclusive-cumprod weights reproduce the sequential front-to-back
+    blend of the CUDA kernel exactly, including its skip rules (power > 0,
+    alpha < 1/255) and its early-termination rule (stop *before* the
+    Gaussian that would drive transmittance below 1e-4).
+    """
+    C, K = gdata.shape[0], gdata.shape[1]
+    u = gdata[..., 0]        # [C, K]
+    v = gdata[..., 1]
+    A = gdata[..., 2]
+    B = gdata[..., 3]
+    Cc = gdata[..., 4]
+    op = gdata[..., 5]
+    feat = gdata[..., 6:]    # [C, K, F]
+
+    # pixel centers of the tile: CUDA uses pixf = (float)pix_index
+    dt = gdata.dtype
+    px = jnp.arange(TILE, dtype=dt)
+    pxs = jnp.tile(px, TILE)                               # [P] x within tile
+    pys = jnp.repeat(px, TILE)                             # [P]
+    P = TILE * TILE
+    pix_x = origins[:, 0:1].astype(dt) + pxs[None, :]             # [C, P]
+    pix_y = origins[:, 1:2].astype(dt) + pys[None, :]
+
+    dx = u[:, :, None] - pix_x[:, None, :]                 # [C, K, P]
+    dy = v[:, :, None] - pix_y[:, None, :]
+    power = (-0.5 * (A[:, :, None] * dx * dx + Cc[:, :, None] * dy * dy)
+             - B[:, :, None] * dx * dy)
+    alpha = jnp.minimum(ALPHA_MAX, op[:, :, None] * jnp.exp(power))
+    slot_valid = (jnp.arange(K, dtype=jnp.int32)[None, :]
+                  < counts[:, None])                       # [C, K]
+    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & slot_valid[:, :, None]
+    a = jnp.where(contrib, alpha, 0.0)
+
+    one_minus = 1.0 - a
+    # exclusive cumulative transmittance along the depth-sorted K axis
+    t_excl = jnp.cumprod(one_minus, axis=1) / one_minus
+    # (cumprod/x form is exact only when x>0; 1-a >= 1-0.99 > 0 always)
+    include = jax.lax.stop_gradient(
+        contrib & (t_excl * one_minus >= T_EPS))
+    w = jnp.where(include, a * t_excl, 0.0)                # [C, K, P]
+
+    out = jnp.einsum("ckp,ckf->cpf", w, feat,
+                     preferred_element_type=dt)            # [C, P, F]
+    final_t = 1.0 - jnp.sum(w, axis=1)                     # [C, P]
+    return out, final_t
+
+
+def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
+              binning: Binning, cam: Camera, cfg: RasterConfig):
+    """Rasterize all tiles -> ([num_tiles, P, F], [num_tiles, P]) tile images."""
+    F = features.shape[-1]
+    num_tiles = cam.num_tiles
+    K = cfg.max_per_tile
+
+    table = jnp.concatenate(
+        [proj.u[:, None], proj.v[:, None], proj.conic,
+         opacity[:, None], features], axis=-1)                 # [N, 6+F]
+    gdata = table[binning.tile_gauss]                          # [T, K, 6+F]
+    counts = binning.tile_count
+    tx = jnp.arange(num_tiles, dtype=jnp.int32) % cam.tiles_x
+    ty = jnp.arange(num_tiles, dtype=jnp.int32) // cam.tiles_x
+    origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
+
+    # composite in chunks of tiles to bound the [chunk, K, 256] intermediates
+    chunk = min(cfg.tile_chunk, num_tiles)
+    pad_tiles = (-num_tiles) % chunk
+    if pad_tiles:
+        gdata = jnp.concatenate(
+            [gdata, jnp.zeros((pad_tiles,) + gdata.shape[1:], gdata.dtype)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad_tiles,), counts.dtype)])
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad_tiles, 2), origins.dtype)])
+    n_chunks = (num_tiles + pad_tiles) // chunk
+    gdata = gdata.reshape(n_chunks, chunk, K, 6 + F)
+    counts = counts.reshape(n_chunks, chunk)
+    origins = origins.reshape(n_chunks, chunk, 2)
+
+    body = jax.checkpoint(
+        lambda args: _composite_chunk(args[0], args[1], args[2], F))
+    out, final_t = jax.lax.map(body, (gdata, counts, origins))
+    out = out.reshape(num_tiles + pad_tiles, TILE * TILE, F)
+    final_t = final_t.reshape(num_tiles + pad_tiles, TILE * TILE)
+    return out[:num_tiles], final_t[:num_tiles]
+
+
+def render(means_cam: jnp.ndarray,
+           quats_cam: jnp.ndarray,
+           log_scales: jnp.ndarray,
+           logit_opacities: jnp.ndarray,
+           features: jnp.ndarray,
+           alive: jnp.ndarray,
+           cam: Camera,
+           cfg: RasterConfig = RasterConfig(),
+           means2d_offset: jnp.ndarray | None = None):
+    """Full differentiable render.
+
+    Inputs (all fixed-capacity [N, ...] with `alive` masking the real prefix):
+      means_cam [N,3] camera-frame centers, quats_cam [N,4], log_scales [N,3],
+      logit_opacities [N,1] (sigmoid applied here, matching
+      transformed_params2rendervar, slam_helpers.py:124-139),
+      features [N,F] per-Gaussian channels to composite.
+
+    Returns dict:
+      image   [F, H, W] composited channels (bg = 0, as in setup_camera)
+      final_T [H, W]    remaining transmittance
+      radii   [N]       int32 per-Gaussian pixel radius (0 = culled/unseen)
+      n_isect, n_overflow  binning statistics
+    """
+    opacity = jax.nn.sigmoid(logit_opacities[:, 0])
+    proj = project_gaussians(means_cam, quats_cam, log_scales, alive, cam,
+                             means2d_offset)
+    binning = bin_gaussians(proj, cam, cfg)
+    tiles_out, tiles_t = composite(proj, opacity, features, binning, cam, cfg)
+
+    F = features.shape[-1]
+    gx, gy = cam.tiles_x, cam.tiles_y
+    img = tiles_out.reshape(gy, gx, TILE, TILE, F)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, F)
+    img = img[: cam.height, : cam.width]
+    final_t = tiles_t.reshape(gy, gx, TILE, TILE)
+    final_t = final_t.transpose(0, 2, 1, 3).reshape(gy * TILE, gx * TILE)
+    final_t = final_t[: cam.height, : cam.width]
+
+    return {
+        "image": jnp.moveaxis(img, -1, 0),
+        "final_T": final_t,
+        "radii": proj.radius,
+        "n_isect": binning.n_isect,
+        "n_overflow": binning.n_overflow,
+    }
+
+
+def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
+                    rgb_colors, alive, cam, cfg: RasterConfig = RasterConfig(),
+                    means2d_offset=None):
+    """Fused RGB + depth + silhouette + depth^2 render.
+
+    The reference rasterizes twice per loss evaluation — once for RGB and once
+    for [z, 1, z^2] (scripts/splatam.py:529-537, slam_helpers.py:196-213).
+    The compositing weights are identical, so on TPU we composite a single
+    6-channel feature matrix and split. Returns (im [3,H,W], depth [1,H,W],
+    silhouette [H,W], depth_sq [1,H,W], aux dict).
+    """
+    z = means_cam[:, 2:3]
+    feats = jnp.concatenate(
+        [rgb_colors, z, jnp.ones_like(z), z * z], axis=-1)
+    out = render(means_cam, quats_cam, log_scales, logit_opacities, feats,
+                 alive, cam, cfg, means2d_offset)
+    img = out["image"]
+    return (img[0:3], img[3:4], img[4], img[5:6],
+            {"radii": out["radii"], "final_T": out["final_T"],
+             "n_isect": out["n_isect"], "n_overflow": out["n_overflow"]})

@@ -1,0 +1,102 @@
+"""SSIM / MS-SSIM / PSNR image metrics in JAX.
+
+`calc_ssim` reproduces the Inria gaussian-window SSIM used in the mapping
+loss (utils/slam_external.py:54-97): 11x11 window, sigma 1.5, SAME padding,
+per-channel depthwise convolution. `ms_ssim` reproduces pytorch_msssim's
+5-scale variant used by eval (utils/eval_helpers.py:518).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+    w = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w)
+
+
+def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
+                      padding) -> jnp.ndarray:
+    """img [C, H, W] -> per-channel 2D convolution."""
+    C = img.shape[0]
+    lhs = img[None]                                     # [1, C, H, W]
+    rhs = jnp.tile(window[None, None], (C, 1, 1, 1))    # [C, 1, kh, kw]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+    return out[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         padding="SAME") -> jnp.ndarray:
+    """Mean SSIM over [C, H, W] images in [0, 1]."""
+    w = _gaussian_window(window_size).astype(img1.dtype)
+    pad = ([(window_size // 2, window_size // 2)] * 2
+           if padding == "SAME" else padding)
+    filt = lambda x: _depthwise_filter(x, w, pad)
+    mu1, mu2 = filt(img1), filt(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = filt(img1 * img1) - mu1_sq
+    s2 = filt(img2 * img2) - mu2_sq
+    s12 = filt(img1 * img2) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1)
+                                              * (s1 + s2 + c2))
+    return m.mean()
+
+
+calc_ssim = ssim  # reference-name alias
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
+    """Multi-scale SSIM over [C, H, W] in [0, 1] (pytorch_msssim semantics:
+    valid-padding gaussian filter, 2x avg-pool between scales, contrast
+    sensitivity at coarse scales, relu-clamped)."""
+    w = _gaussian_window(window_size).astype(img1.dtype)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+
+    def one_scale(a, b):
+        filt = lambda x: _depthwise_filter(x, w, [(0, 0), (0, 0)])
+        mu1, mu2 = filt(a), filt(b)
+        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = filt(a * a) - mu1_sq
+        s2 = filt(b * b) - mu2_sq
+        s12 = filt(a * b) - mu12
+        cs = ((2 * s12 + c2) / (s1 + s2 + c2)).mean()
+        ssim_v = (((2 * mu12 + c1) * (2 * s12 + c2))
+                  / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))).mean()
+        return ssim_v, cs
+
+    def pool2(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
+
+    vals = []
+    a, b = img1, img2
+    n_scales = len(_MSSSIM_WEIGHTS)
+    for i in range(n_scales):
+        ssim_v, cs = one_scale(a, b)
+        vals.append(ssim_v if i == n_scales - 1 else cs)
+        if i < n_scales - 1:
+            a, b = pool2(a), pool2(b)
+    vals = jnp.stack([jax.nn.relu(v) for v in vals])
+    weights = jnp.asarray(_MSSSIM_WEIGHTS, img1.dtype)
+    return jnp.prod(vals ** weights)
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR, matching calc_psnr (slam_external.py:49-51):
+    mean over a per-channel-mse -> 20 log10(1/sqrt(mse)) vector."""
+    mse = ((img1 - img2) ** 2).reshape(img1.shape[0], -1).mean(axis=1)
+    return (20.0 * jnp.log10(1.0 / jnp.sqrt(mse))).mean()

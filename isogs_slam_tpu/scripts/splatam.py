@@ -1,0 +1,53 @@
+"""SLAM CLI — same invocation contract as the reference:
+
+    python -m isogs_slam_tpu.scripts.splatam configs/replica/splatam.py \
+        [--end-at N]
+
+(scripts/splatam.py:1703-1738): loads the experiment config module, seeds,
+copies the config into the run dir for provenance, runs SLAM, then evaluates.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..slam.config import (copy_config_for_provenance, inject_defaults,
+                           load_experiment_config)
+from ..slam.pipeline import SLAM
+from ..utils.common import seed_everything
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment", type=str,
+                        help="Path to experiment config .py")
+    parser.add_argument("--end-at", type=int, default=None,
+                        help="Stop after this frame index (inclusive)")
+    parser.add_argument("--no-eval", action="store_true",
+                        help="Skip the final evaluation pass")
+    args = parser.parse_args(argv)
+
+    config = load_experiment_config(args.experiment)
+    seed_everything(config.get("seed", 0))
+
+    results_dir = os.path.join(config["workdir"], config["run_name"])
+    if not config.get("load_checkpoint", False):
+        copy_config_for_provenance(args.experiment, results_dir)
+
+    slam = SLAM(config)
+    slam.run(end_at=args.end_at)
+
+    if not args.no_eval:
+        from ..eval.eval_helpers import eval_sequence
+        eval_sequence(slam.dataset, slam, slam.eval_dir,
+                      sil_thres=config["mapping"]["sil_thres"],
+                      mapping_iters=config["mapping"]["num_iters"],
+                      add_new_gaussians=config["mapping"]["add_new_gaussians"],
+                      eval_every=config.get("eval_every", 1))
+    return slam
+
+
+if __name__ == "__main__":
+    main()

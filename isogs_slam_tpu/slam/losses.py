@@ -1,0 +1,141 @@
+"""The unified tracking/mapping loss — jitted analog of `get_loss`
+(scripts/splatam.py:494-760), the most important function in the pipeline.
+
+One fused 6-channel render replaces the reference's two rasterizer calls
+(RGB at :529, depth+silhouette at :533); masks and loss terms reproduce the
+reference exactly:
+
+  tracking: masked L1 *sums* over {valid-depth & non-nan & silhouette>0.99}
+  mapping:  depth L1 mean over valid mask; im = 0.8 L1 + 0.2 (1 - SSIM);
+            + IsoGS flat (w=50) and iso (w=2) regularizers
+
+All branches are resolved statically (tracking/mapping are Python bools), so
+each phase compiles to its own fused XLA program.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..ops.iso_loss import flat_loss, iso_surface_loss
+from ..ops.rasterize import RasterConfig, render_rgbd_sil
+from ..ops.ssim import calc_ssim
+from ..utils.transforms import transform_to_frame
+
+
+class LossConfig(NamedTuple):
+    """Static per-phase loss configuration (from config['tracking'] /
+    config['mapping'])."""
+
+    tracking: bool
+    use_sil_for_loss: bool
+    sil_thres: float
+    use_l1: bool
+    ignore_outlier_depth_loss: bool
+    w_im: float
+    w_depth: float
+    w_flat: float = 50.0     # splatam.py:733-735 default
+    w_iso: float = 2.0       # splatam.py:737-739 default
+    iso_sample_size: int = 8192
+    iso_k: int = 16
+    iso_target: float = 1.0
+    calc_iso: bool = True    # mapping only
+    knn_block: int = 8192
+
+
+class LossOutputs(NamedTuple):
+    loss: jnp.ndarray
+    im: jnp.ndarray
+    depth: jnp.ndarray
+    flat: jnp.ndarray
+    iso: jnp.ndarray
+    mean_density: jnp.ndarray
+    radii: jnp.ndarray        # for seen/max_2D_radius bookkeeping
+    n_overflow: jnp.ndarray
+
+
+def compute_loss(params: GaussianParams, alive: jnp.ndarray,
+                 cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
+                 gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
+                 cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
+                 key: jax.Array | None = None,
+                 means2d_offset: jnp.ndarray | None = None) -> LossOutputs:
+    """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters."""
+    tracking = lcfg.tracking
+
+    means_cam, quats_cam = transform_to_frame(
+        params.means3d, params.unnorm_rotations, cam_quat, cam_trans,
+        gaussians_grad=not tracking, camera_grad=tracking)
+
+    im, depth, silhouette, depth_sq, aux = render_rgbd_sil(
+        means_cam, quats_cam, params.log_scales, params.logit_opacities,
+        params.rgb_colors, alive, cam, rcfg, means2d_offset)
+
+    uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
+    presence_sil_mask = silhouette > lcfg.sil_thres
+
+    nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
+    if lcfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0)
+        mask = (depth_error < 10 * jnp.median(depth_error)) & (gt_depth > 0)
+    else:
+        mask = gt_depth > 0
+    mask = mask & nan_mask
+    if tracking and lcfg.use_sil_for_loss:
+        mask = mask & presence_sil_mask[None]
+    mask = jax.lax.stop_gradient(mask)
+
+    # Depth loss
+    d_abs = jnp.abs(gt_depth - depth)
+    if lcfg.use_l1:
+        if tracking:
+            loss_depth = jnp.sum(jnp.where(mask, d_abs, 0.0))
+        else:
+            cnt = jnp.maximum(jnp.sum(mask.astype(d_abs.dtype)), 1.0)
+            loss_depth = jnp.sum(jnp.where(mask, d_abs, 0.0)) / cnt
+    else:
+        loss_depth = jnp.zeros((), d_abs.dtype)
+
+    # RGB loss
+    im_abs = jnp.abs(gt_im - im)
+    if tracking and (lcfg.use_sil_for_loss or lcfg.ignore_outlier_depth_loss):
+        color_mask = jnp.broadcast_to(mask, im.shape)
+        loss_im = jnp.sum(jnp.where(color_mask, im_abs, 0.0))
+    elif tracking:
+        loss_im = jnp.sum(im_abs)
+    else:
+        loss_im = 0.8 * im_abs.mean() + 0.2 * (1.0 - calc_ssim(im, gt_im))
+
+    # IsoGS regularizers (mapping only, splatam.py:572-680)
+    if not tracking:
+        loss_flat = flat_loss(params.log_scales, alive)
+        if lcfg.calc_iso:
+            assert key is not None
+            loss_iso, mean_density = iso_surface_loss(
+                params.means3d, params.unnorm_rotations, params.log_scales,
+                params.logit_opacities, alive, key,
+                sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
+                target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block)
+        else:
+            loss_iso = jnp.zeros(())
+            mean_density = jnp.zeros(())
+        w_flat, w_iso = lcfg.w_flat, lcfg.w_iso
+    else:
+        loss_flat = jnp.zeros(())
+        loss_iso = jnp.zeros(())
+        mean_density = jnp.zeros(())
+        w_flat = w_iso = 0.0
+
+    wim = lcfg.w_im * loss_im
+    wdepth = lcfg.w_depth * loss_depth
+    wflat = w_flat * loss_flat
+    wiso = w_iso * loss_iso
+    total = wim + wdepth + wflat + wiso
+
+    return LossOutputs(loss=total, im=wim, depth=wdepth, flat=wflat,
+                       iso=wiso, mean_density=mean_density,
+                       radii=aux["radii"], n_overflow=aux["n_overflow"])

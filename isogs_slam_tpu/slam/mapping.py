@@ -1,0 +1,157 @@
+"""Keyframe mapping as a single jitted lax.scan over optimization iterations.
+
+Replaces the host loop at scripts/splatam.py:1412-1491: per iteration, pick a
+(host-pre-sampled) keyframe, evaluate the mapping loss (L1+SSIM color, masked
+depth L1, IsoGS flat+iso), take one Adam step on the Gaussian parameters, and
+apply the pruning schedule (prune_gaussians, slam_external.py:167-188) as
+alive-mask updates. The full keyframe window lives on device (uint8 color /
+f32 depth) so a mapping phase runs without host round-trips.
+
+Fresh Adam per frame (initialize_optimizer is called per mapping phase,
+splatam.py:1406) with eps=1e-15 and per-param lrs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import optim
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams, MapState
+from ..ops.rasterize import RasterConfig
+from ..utils.transforms import normalize
+from .losses import LossConfig, compute_loss
+
+N_LOG = 6
+
+
+class PruneConfig(NamedTuple):
+    enabled: bool
+    start_after: int
+    remove_big_after: int
+    stop_after: int
+    prune_every: int
+    removal_opacity_threshold: float
+    final_removal_opacity_threshold: float
+    reset_opacities: bool
+    reset_opacities_every: int
+
+
+class MappingConfig(NamedTuple):
+    num_iters: int
+    lr_means3d: float
+    lr_rgb_colors: float
+    lr_unnorm_rotations: float
+    lr_logit_opacities: float
+    lr_log_scales: float
+    prune: PruneConfig
+    eps: float = 1e-15
+
+    def lrs(self) -> GaussianParams:
+        f = jnp.float32
+        return GaussianParams(
+            means3d=f(self.lr_means3d), rgb_colors=f(self.lr_rgb_colors),
+            unnorm_rotations=f(self.lr_unnorm_rotations),
+            logit_opacities=f(self.lr_logit_opacities),
+            log_scales=f(self.lr_log_scales))
+
+
+def _prune_mask(params: GaussianParams, alive, scene_radius, it,
+                pc: PruneConfig):
+    """Row-removal mask for iteration `it` (prune_gaussians semantics)."""
+    thres = jnp.where(it == pc.stop_after,
+                      pc.final_removal_opacity_threshold,
+                      pc.removal_opacity_threshold)
+    remove = jax.nn.sigmoid(params.logit_opacities[:, 0]) < thres
+    big = jnp.max(jnp.exp(params.log_scales), axis=1) > 0.1 * scene_radius
+    remove = jnp.where(it >= pc.remove_big_after, remove | big, remove)
+    do = ((it <= pc.stop_after) & (it >= pc.start_after)
+          & (it % max(pc.prune_every, 1) == 0))
+    return jnp.where(do & pc.enabled, remove & alive, False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "rcfg", "lcfg", "mcfg"),
+                   donate_argnames=("state",))
+def map_frame(state: MapState,
+              kf_colors_u8: jnp.ndarray,   # [S, H, W, 3] uint8
+              kf_depths: jnp.ndarray,      # [S, H, W] float32 (meters)
+              kf_quats: jnp.ndarray,       # [S, 4] estimated pose per slot
+              kf_transl: jnp.ndarray,      # [S, 3]
+              iter_slots: jnp.ndarray,     # [num_iters] int32 slot per iter
+              keys: jnp.ndarray,           # [num_iters] PRNG keys
+              cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
+              mcfg: MappingConfig):
+    """Returns (new MapState, loss_log [num_iters, N_LOG])."""
+    assert not lcfg.tracking
+    lrs = mcfg.lrs()
+    pc = mcfg.prune
+
+    def loss_fn(params, alive, quat, trans, gt_im, gt_depth, key):
+        out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
+                           cam, rcfg, lcfg, key=key)
+        return out.loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(carry, xs):
+        st, opt = carry
+        slot, key, it = xs
+        gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
+                 ).transpose(2, 0, 1)
+        gt_depth = kf_depths[slot][None]
+        quat = jax.lax.stop_gradient(kf_quats[slot])
+        trans = jax.lax.stop_gradient(kf_transl[slot])
+
+        (loss, out), grads = grad_fn(st.params, st.alive, quat, trans,
+                                     gt_im, gt_depth, key)
+
+        # seen/max_2D_radius bookkeeping (splatam.py:751-753)
+        seen = out.radii > 0
+        max_r = jnp.where(
+            seen, jnp.maximum(out.radii.astype(st.max_2d_radius.dtype),
+                              st.max_2d_radius), st.max_2d_radius)
+        st = st._replace(max_2d_radius=max_r)
+
+        # prune (before the optimizer step, splatam.py:1461-1467)
+        remove = _prune_mask(st.params, st.alive, st.scene_radius, it, pc)
+        st = st._replace(alive=st.alive & ~remove)
+
+        # opacity reset (update_params_and_optimizer: param replaced and
+        # its Adam moments zeroed, slam_external.py:183-186)
+        if pc.reset_opacities:
+            do_reset = (it > 0) & (it % max(pc.reset_opacities_every, 1) == 0)
+            reset_val = jnp.log(jnp.asarray(0.01 / 0.99, jnp.float32))
+            new_op = jnp.where(do_reset,
+                               jnp.full_like(st.params.logit_opacities,
+                                             reset_val),
+                               st.params.logit_opacities)
+            st = st._replace(params=st.params._replace(logit_opacities=new_op))
+            zmu = jnp.where(do_reset, jnp.zeros_like(opt.mu.logit_opacities),
+                            opt.mu.logit_opacities)
+            znu = jnp.where(do_reset, jnp.zeros_like(opt.nu.logit_opacities),
+                            opt.nu.logit_opacities)
+            opt = opt._replace(mu=opt.mu._replace(logit_opacities=zmu),
+                               nu=opt.nu._replace(logit_opacities=znu))
+
+        new_params, opt = optim.step(st.params, grads, opt, lrs,
+                                     eps=mcfg.eps)
+        st = st._replace(params=new_params)
+        log = jnp.stack([out.loss, out.im, out.depth, out.flat, out.iso,
+                         out.mean_density])
+        return (st, opt), log
+
+    opt0 = optim.init(state.params)
+    its = jnp.arange(mcfg.num_iters, dtype=jnp.int32)
+    (state, _), loss_log = jax.lax.scan(
+        body, (state, opt0), (iter_slots, keys, its))
+    return state, loss_log
+
+
+def estimated_pose(cam_rots, cam_trans, time_idx):
+    """Normalized (quat, trans) at a frame index; cam_rots [4,T]."""
+    q = cam_rots[:, time_idx]
+    return q / jnp.linalg.norm(q), cam_trans[:, time_idx]

@@ -1,0 +1,547 @@
+"""The SLAM driver: per-frame tracking + densification + keyframe mapping.
+
+Host-side orchestration of the jitted steps; the structural analog of
+`rgbd_slam` (scripts/splatam.py:876-1701). Per frame:
+
+  1. load RGB-D (host) -> device
+  2. constant-velocity pose init (splatam.py:844-863)
+  3. tracking: ONE jit call runs the whole Adam loop (tracking.track_frame)
+  4. every map_every frames: silhouette densification (pointcloud.
+     add_new_gaussians), overlap keyframe selection (keyframes.py),
+     then ONE jit call runs all mapping iterations (mapping.map_frame)
+  5. keyframe append every keyframe_every frames (splatam.py:1523-1536)
+  6. checkpoint + GC on checkpoint_interval (splatam.py:1539-1586), with
+     auto-resume from the latest params*.npz (splatam.py:1037-1174)
+
+Unlike the reference (hundreds of host<->GPU round trips per frame), the
+device work per frame is 2-3 XLA program invocations.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import gaussians as G
+from ..core.camera import Camera
+from ..datasets import get_dataset, load_dataset_config
+from ..io import checkpoints as ckpt_io
+from ..ops.rasterize import RasterConfig
+from ..utils.transforms import pose_to_w2c, rotmat_to_quat, normalize
+from . import keyframes as KF
+from .config import inject_defaults
+from .losses import LossConfig
+from .mapping import MappingConfig, PruneConfig, map_frame
+from .pointcloud import add_new_gaussians, initialize_first_frame
+from .tracking import TrackingConfig, initialize_camera_pose, track_frame
+
+LOG_FIELDS = ["frame", "stage", "step", "loss", "image_loss", "depth_loss",
+              "flat_loss", "iso_loss", "mean_density"]
+
+
+class MetricsCSV:
+    """Append-only metrics_log.csv with resume truncation
+    (splatam.py:61-159)."""
+
+    def __init__(self, output_dir: str, checkpoint_time_idx: int = 0):
+        self.path = os.path.join(output_dir, "metrics_log.csv")
+        rows = []
+        if os.path.exists(self.path) and checkpoint_time_idx > 0:
+            try:
+                with open(self.path) as f:
+                    for row in csv.DictReader(f):
+                        try:
+                            if int(row.get("frame", -1)) < checkpoint_time_idx:
+                                rows.append(row)
+                        except ValueError:
+                            continue
+            except Exception:
+                rows = []
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=LOG_FIELDS)
+            w.writeheader()
+            w.writerows(rows)
+
+    def append_block(self, frame: int, stage: str, log: np.ndarray):
+        """log [n_iters, 6] (loss, im, depth, flat, iso, mean_density);
+        NaN-loss rows (unexecuted while-loop slots) are skipped."""
+        with open(self.path, "a", newline="") as f:
+            w = csv.writer(f)
+            for step, row in enumerate(np.asarray(log)):
+                if np.isnan(row[0]):
+                    continue
+                w.writerow([frame, stage, step] + [float(x) for x in row])
+
+
+def _dataset_from_config(config, height, width):
+    dc = config["data"]
+    if "gradslam_data_cfg" not in dc:
+        data_cfg = {"dataset_name": dc["dataset_name"]}
+    else:
+        data_cfg = load_dataset_config(dc["gradslam_data_cfg"])
+    return get_dataset(
+        config_dict=data_cfg, basedir=dc.get("basedir", ""),
+        sequence=os.path.basename(str(dc.get("sequence", ""))),
+        start=dc.get("start", 0), end=dc.get("end", -1),
+        stride=dc.get("stride", 1), desired_height=height,
+        desired_width=width, relative_pose=True,
+        ignore_bad=dc.get("ignore_bad", False),
+        use_train_split=dc.get("use_train_split", True),
+        num_frames=dc.get("num_frames", -1), seed=config.get("seed", 0))
+
+
+def _loss_cfg_tracking(config) -> LossConfig:
+    t = config["tracking"]
+    w = t["loss_weights"]
+    return LossConfig(
+        tracking=True, use_sil_for_loss=t["use_sil_for_loss"],
+        sil_thres=t["sil_thres"], use_l1=t["use_l1"],
+        ignore_outlier_depth_loss=t["ignore_outlier_depth_loss"],
+        w_im=w["im"], w_depth=w["depth"], w_flat=0.0, w_iso=0.0,
+        calc_iso=False)
+
+
+def _loss_cfg_mapping(config) -> LossConfig:
+    m = config["mapping"]
+    w = m["loss_weights"]
+    iso_cfg = config.get("isogs", {})
+    return LossConfig(
+        tracking=False, use_sil_for_loss=m["use_sil_for_loss"],
+        sil_thres=m["sil_thres"], use_l1=m["use_l1"],
+        ignore_outlier_depth_loss=m["ignore_outlier_depth_loss"],
+        w_im=w["im"], w_depth=w["depth"],
+        w_flat=w.get("flat", 50.0), w_iso=w.get("iso", 2.0),
+        iso_sample_size=iso_cfg.get("sample_size", 8192),
+        iso_k=iso_cfg.get("k", 16),
+        iso_target=iso_cfg.get("target_saturation", 1.0),
+        calc_iso=w.get("iso", 2.0) != 0.0,
+        knn_block=iso_cfg.get("knn_block", 8192))
+
+
+def _mapping_cfg(config) -> MappingConfig:
+    m = config["mapping"]
+    lrs = m["lrs"]
+    pd = m.get("pruning_dict", {})
+    prune = PruneConfig(
+        enabled=m.get("prune_gaussians", False),
+        start_after=pd.get("start_after", 0),
+        remove_big_after=pd.get("remove_big_after", 0),
+        stop_after=pd.get("stop_after", 20),
+        prune_every=pd.get("prune_every", 20),
+        removal_opacity_threshold=pd.get("removal_opacity_threshold", 0.005),
+        final_removal_opacity_threshold=pd.get(
+            "final_removal_opacity_threshold", 0.005),
+        reset_opacities=pd.get("reset_opacities", False),
+        reset_opacities_every=pd.get("reset_opacities_every", 500))
+    return MappingConfig(
+        num_iters=m["num_iters"], lr_means3d=lrs["means3D"],
+        lr_rgb_colors=lrs["rgb_colors"],
+        lr_unnorm_rotations=lrs["unnorm_rotations"],
+        lr_logit_opacities=lrs["logit_opacities"],
+        lr_log_scales=lrs["log_scales"], prune=prune)
+
+
+def _tracking_cfg(config) -> TrackingConfig:
+    t = config["tracking"]
+    return TrackingConfig(
+        num_iters=t["num_iters"], lr_quat=t["lrs"]["cam_unnorm_rots"],
+        lr_trans=t["lrs"]["cam_trans"],
+        use_depth_loss_thres=t.get("use_depth_loss_thres", False),
+        depth_loss_thres=t.get("depth_loss_thres", 100000))
+
+
+def _to_chw_frame(color, depth):
+    """Dataset (H,W,3) 0..255 + (H,W,1) -> device [3,H,W] 0..1, [1,H,W]."""
+    im = jnp.asarray(color, jnp.float32).transpose(2, 0, 1) / 255.0
+    d = jnp.asarray(depth, jnp.float32).transpose(2, 0, 1)
+    return im, d
+
+
+class SLAM:
+    """Stateful SLAM runner (construct once, call run())."""
+
+    def __init__(self, config: dict):
+        self.config = inject_defaults(config)
+        cfg = self.config
+        self.output_dir = os.path.join(cfg["workdir"], cfg["run_name"])
+        self.eval_dir = os.path.join(self.output_dir, "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+
+        dc = cfg["data"]
+        self.dataset = _dataset_from_config(
+            cfg, dc["desired_image_height"], dc["desired_image_width"])
+        self.num_frames = dc.get("num_frames", -1)
+        if self.num_frames == -1:
+            self.num_frames = len(self.dataset)
+
+        # Separate-resolution tracking / densification datasets
+        self.tracking_dataset = None
+        if (dc["tracking_image_height"] != dc["desired_image_height"]
+                or dc["tracking_image_width"] != dc["desired_image_width"]):
+            self.tracking_dataset = _dataset_from_config(
+                cfg, dc["tracking_image_height"], dc["tracking_image_width"])
+        self.densify_dataset = None
+        if (dc["densification_image_height"] != dc["desired_image_height"]
+                or dc["densification_image_width"]
+                != dc["desired_image_width"]):
+            self.densify_dataset = _dataset_from_config(
+                cfg, dc["densification_image_height"],
+                dc["densification_image_width"])
+
+        # cameras
+        color0, depth0, intrinsics0, pose0 = self.dataset[0]
+        H, W = color0.shape[0], color0.shape[1]
+        self.intrinsics = np.asarray(intrinsics0)[:3, :3]
+        self.cam = Camera.from_intrinsics(self.intrinsics, W, H)
+        self.first_frame_w2c = np.linalg.inv(np.asarray(pose0, np.float64))
+        if self.tracking_dataset is not None:
+            tc, _, ti, _ = self.tracking_dataset[0]
+            self.tracking_cam = Camera.from_intrinsics(
+                np.asarray(ti)[:3, :3], tc.shape[1], tc.shape[0])
+        else:
+            self.tracking_cam = self.cam
+        if self.densify_dataset is not None:
+            dcol, _, di, _ = self.densify_dataset[0]
+            self.densify_cam = Camera.from_intrinsics(
+                np.asarray(di)[:3, :3], dcol.shape[1], dcol.shape[0])
+            self.densify_intrinsics = np.asarray(di)[:3, :3]
+        else:
+            self.densify_cam = self.cam
+            self.densify_intrinsics = self.intrinsics
+
+        r = cfg["raster"]
+        self.rcfg = RasterConfig(max_per_tile=r["max_per_tile"],
+                                 isect_per_gaussian=r["isect_per_gaussian"],
+                                 tile_chunk=r["tile_chunk"])
+        self.lcfg_track = _loss_cfg_tracking(cfg)
+        self.lcfg_map = _loss_cfg_mapping(cfg)
+        self.tcfg = _tracking_cfg(cfg)
+        self.mcfg = _mapping_cfg(cfg)
+
+        # host-side camera trajectory [4,T], [3,T] (cam_unnorm_rots/trans)
+        T = self.num_frames
+        self.cam_rots = np.tile(np.array([1, 0, 0, 0], np.float32)[:, None],
+                                (1, T))
+        self.cam_trans = np.zeros((3, T), np.float32)
+
+        self.granule = cfg["capacity_granule"]
+        self.state: G.MapState | None = None
+        max_kf = T // max(cfg["keyframe_every"], 1) + 3
+        self.kf = KF.KeyframeLibrary(max_kf, H, W)
+        self.gt_w2c_all: list[np.ndarray] = []
+        self.keyframe_time_indices: list[int] = []
+        self.rng = np.random  # module-level RNG, seeded by seed_everything
+        self.key = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
+                      "mapping_iter_time": [], "mapping_frame_time": []}
+        self._compact_every = cfg.get("compact_every", 50)
+
+    # ------------------------------------------------------------- helpers
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _pose(self, time_idx):
+        q = self.cam_rots[:, time_idx]
+        q = q / np.linalg.norm(q)
+        return (jnp.asarray(q, jnp.float32),
+                jnp.asarray(self.cam_trans[:, time_idx], jnp.float32))
+
+    def _est_w2c(self, time_idx) -> np.ndarray:
+        q, t = self._pose(time_idx)
+        return np.asarray(pose_to_w2c(q, t))
+
+    def _ensure_capacity(self, needed_extra: int):
+        used = int(self.state.hwm)
+        cap = self.state.capacity
+        if used + needed_extra > cap:
+            new_cap = G.round_capacity(used + needed_extra, self.granule)
+            self.state = G.grow_capacity(self.state, new_cap)
+
+    # --------------------------------------------------------------- init
+    def initialize_first_frame(self, color, depth):
+        im, d = _to_chw_frame(color, depth)
+        n_px = int(self.densify_cam.width * self.densify_cam.height)
+        capacity = G.round_capacity(int(n_px * 1.5), self.granule)
+        self.state = initialize_first_frame(
+            im, d, self.densify_cam, capacity, self._next_key(),
+            self.config["scene_radius_depth_ratio"])
+
+    # ------------------------------------------------------------ resume
+    def try_resume(self) -> int:
+        cfg = self.config
+        if not cfg.get("load_checkpoint", False):
+            return 0
+        want = cfg.get("checkpoint_time_idx", 0)
+        if want < 0:
+            frame, path = ckpt_io.latest_checkpoint(self.output_dir)
+            if frame is None:
+                return 0
+        else:
+            frame = want
+            path = os.path.join(self.output_dir, f"params{frame}.npz")
+            if not os.path.exists(path):
+                return 0
+        print(f"[Checkpoint] Resuming from frame {frame}")
+        data = ckpt_io.load_checkpoint(path)
+        n = data["means3D"].shape[0]
+        capacity = G.round_capacity(int(n * 1.25), self.granule)
+        st = G.empty_state(capacity)
+        rows = G.GaussianParams(
+            means3d=jnp.asarray(data["means3D"]),
+            rgb_colors=jnp.asarray(data["rgb_colors"]),
+            unnorm_rotations=jnp.asarray(data["unnorm_rotations"]),
+            logit_opacities=jnp.asarray(data["logit_opacities"]),
+            log_scales=jnp.asarray(data["log_scales"]))
+        st = G.append_rows(st, rows, jnp.ones(n, bool), 0)
+        if "timestep" in data:
+            ts = jnp.zeros(capacity).at[:n].set(
+                jnp.asarray(data["timestep"], jnp.float32)[:n])
+            st = st._replace(timestep=ts)
+        self.state = st
+        self.cam_rots = np.asarray(data["cam_unnorm_rots"])[0]
+        self.cam_trans = np.asarray(data["cam_trans"])[0]
+        # scene radius from first frame depth
+        _, depth0, _, _ = self.dataset[0]
+        self.state = self.state._replace(scene_radius=jnp.asarray(
+            float(np.max(depth0)) / self.config["scene_radius_depth_ratio"],
+            jnp.float32))
+        kf_path = os.path.join(self.output_dir,
+                               f"keyframe_time_indices{frame}.npy")
+        kf_times = (np.load(kf_path).tolist() if os.path.exists(kf_path)
+                    else [])
+        # replay gt poses + keyframes (splatam.py:1151-1171)
+        for t in range(frame):
+            color, depth, _, pose = self.dataset[t]
+            self.gt_w2c_all.append(np.linalg.inv(np.asarray(pose,
+                                                            np.float64)))
+            if t in kf_times:
+                im, d = _to_chw_frame(color, depth)
+                q, tr = self._pose(t)
+                self.kf.add_keyframe(t, im, d, q, tr, self._est_w2c(t))
+                self.keyframe_time_indices.append(t)
+        return frame
+
+    # ----------------------------------------------------------- tracking
+    def track(self, time_idx, im, depth):
+        cfg = self.config
+        if time_idx > 0:
+            q0, t0 = initialize_camera_pose(
+                jnp.asarray(self.cam_rots), jnp.asarray(self.cam_trans),
+                time_idx, cfg["tracking"]["forward_prop"])
+            self.cam_rots[:, time_idx] = np.asarray(q0)
+            self.cam_trans[:, time_idx] = np.asarray(t0)
+        if time_idx == 0:
+            return None
+        if cfg["tracking"]["use_gt_poses"]:
+            gt_w2c = self.gt_w2c_all[-1]
+            quat = np.asarray(rotmat_to_quat(
+                jnp.asarray(gt_w2c[:3, :3], jnp.float32)))
+            self.cam_rots[:, time_idx] = quat
+            self.cam_trans[:, time_idx] = gt_w2c[:3, 3]
+            return None
+        q0 = jnp.asarray(self.cam_rots[:, time_idx])
+        t0 = jnp.asarray(self.cam_trans[:, time_idx])
+        res = track_frame(self.state.params, self.state.alive, q0, t0,
+                          im, depth, self.tracking_cam, self.rcfg,
+                          self.lcfg_track, self.tcfg)
+        self.cam_rots[:, time_idx] = np.asarray(res.quat)
+        self.cam_trans[:, time_idx] = np.asarray(res.trans)
+        return res
+
+    # ------------------------------------------------------ densification
+    def densify(self, time_idx, im, depth):
+        self._ensure_capacity(
+            int(self.densify_cam.width * self.densify_cam.height))
+        q, t = self._pose(time_idx)
+        self.state = add_new_gaussians(
+            self.state, im, depth, q, t, float(time_idx), self._next_key(),
+            self.densify_cam, self.rcfg,
+            sil_thres=self.config["mapping"]["sil_thres"])
+
+    # ----------------------------------------------------------- mapping
+    def map(self, time_idx, im, depth):
+        cfg = self.config
+        num_iters = cfg["mapping"]["num_iters"]
+        if num_iters <= 0:
+            return None
+        # keyframe selection (splatam.py:1384-1403)
+        k = cfg["mapping_window_size"] - 2
+        depth_np = np.asarray(depth[0])
+        selected = KF.keyframe_selection_overlap(
+            depth_np, self._est_w2c(time_idx), self.intrinsics,
+            self.kf.w2cs[:-1] if len(self.kf) else [], k, self.rng,
+            self.cam.width, self.cam.height)
+        slots = [int(s) for s in selected]
+        if len(self.kf) > 0:
+            slots.append(len(self.kf) - 1)      # always the last keyframe
+        slots.append(self.kf.current_slot)      # the current frame (-1)
+        q, t = self._pose(time_idx)
+        self.kf.set_current(im, depth, q, t)
+
+        sel_ids = [self.kf.time_indices[s] if s != self.kf.current_slot
+                   else time_idx for s in slots]
+        print(f"\nSelected Keyframes at Frame {time_idx}: {sel_ids}")
+
+        rand = self.rng.randint(0, len(slots), size=num_iters)
+        iter_slots = jnp.asarray(np.array(slots, np.int32)[rand])
+        keys = jax.random.split(self._next_key(), num_iters)
+        self.state, log = map_frame(
+            self.state, self.kf.colors, self.kf.depths, self.kf.quats,
+            self.kf.trans, iter_slots, keys, self.cam, self.rcfg,
+            self.lcfg_map, self.mcfg)
+        return log
+
+    # ------------------------------------------------------------- run
+    def run(self, end_at: int | None = None) -> dict:
+        cfg = self.config
+        start_frame = self.try_resume()
+        metrics = MetricsCSV(self.output_dir, start_frame)
+        end_frame = self.num_frames - 1
+        if end_at is not None:
+            end_frame = min(int(end_at), end_frame)
+        if start_frame > end_frame:
+            print(f"[End-At] Nothing to do (start {start_frame} > end "
+                  f"{end_frame}).")
+            return {}
+
+        for time_idx in range(start_frame, end_frame + 1):
+            color, depth, _, gt_pose = self.dataset[time_idx]
+            gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
+            self.gt_w2c_all.append(gt_w2c)
+            im, d = _to_chw_frame(color, depth)
+
+            if time_idx == 0 and self.state is None:
+                if self.densify_dataset is not None:
+                    dcol, ddep, _, _ = self.densify_dataset[0]
+                    dim, dd = _to_chw_frame(dcol, ddep)
+                    self.initialize_first_frame_from(dim, dd)
+                else:
+                    self.initialize_first_frame(color, depth)
+
+            # tracking
+            t0 = time.time()
+            if self.tracking_dataset is not None and time_idx > 0:
+                tcol, tdep, _, _ = self.tracking_dataset[time_idx]
+                tim, td = _to_chw_frame(tcol, tdep)
+            else:
+                tim, td = im, d
+            res = self.track(time_idx, tim, td)
+            t1 = time.time()
+            if res is not None:
+                iters = int(res.iters_run)
+                log = np.asarray(res.loss_log)
+                metrics.append_block(time_idx, "tracking", log)
+                self.stats["tracking_iter_time"].append(
+                    (t1 - t0) / max(iters, 1))
+            self.stats["tracking_frame_time"].append(t1 - t0)
+
+            # densification + mapping
+            if time_idx == 0 or (time_idx + 1) % cfg["map_every"] == 0:
+                if cfg["mapping"]["add_new_gaussians"] and time_idx > 0:
+                    if self.densify_dataset is not None:
+                        dcol, ddep, _, _ = self.densify_dataset[time_idx]
+                        dim, dd = _to_chw_frame(dcol, ddep)
+                    else:
+                        dim, dd = im, d
+                    self.densify(time_idx, dim, dd)
+                t2 = time.time()
+                mlog = self.map(time_idx, im, d)
+                t3 = time.time()
+                if mlog is not None:
+                    metrics.append_block(time_idx, "mapping",
+                                         np.asarray(mlog))
+                    self.stats["mapping_iter_time"].append(
+                        (t3 - t2) / max(cfg["mapping"]["num_iters"], 1))
+                self.stats["mapping_frame_time"].append(t3 - t2)
+                # periodic compaction of pruned rows
+                if (time_idx + 1) % self._compact_every == 0:
+                    self.state = jax.jit(G.compact,
+                                         donate_argnums=0)(self.state)
+
+            # keyframe append (splatam.py:1523-1536)
+            if (((time_idx == 0)
+                 or ((time_idx + 1) % cfg["keyframe_every"] == 0)
+                 or (time_idx == self.num_frames - 2))
+                    and (not np.isinf(gt_w2c).any())
+                    and (not np.isnan(gt_w2c).any())
+                    and len(self.kf) < self.kf.max_keyframes):
+                q, t = self._pose(time_idx)
+                self.kf.add_keyframe(time_idx, im, d, q, t,
+                                     self._est_w2c(time_idx))
+                self.keyframe_time_indices.append(time_idx)
+
+            # checkpoint
+            if (cfg["save_checkpoints"]
+                    and time_idx % cfg["checkpoint_interval"] == 0):
+                self.save_checkpoint(time_idx)
+
+        self.write_runtime_stats(end_frame)
+        if (cfg["save_checkpoints"]
+                and end_frame % cfg["checkpoint_interval"] != 0):
+            self.save_checkpoint(end_frame)
+        return self.stats
+
+    def initialize_first_frame_from(self, im, d):
+        n_px = int(self.densify_cam.width * self.densify_cam.height)
+        capacity = G.round_capacity(int(n_px * 1.5), self.granule)
+        self.state = initialize_first_frame(
+            im, d, self.densify_cam, capacity, self._next_key(),
+            self.config["scene_radius_depth_ratio"])
+
+    # --------------------------------------------------------- checkpoint
+    def gauss_params_numpy(self) -> dict:
+        """Alive rows as the reference's params dict (compacted)."""
+        st = jax.jit(G.compact)(self.state)
+        n = int(st.hwm)
+        p = st.params
+        return {
+            "means3D": np.asarray(p.means3d[:n]),
+            "rgb_colors": np.asarray(p.rgb_colors[:n]),
+            "unnorm_rotations": np.asarray(p.unnorm_rotations[:n]),
+            "logit_opacities": np.asarray(p.logit_opacities[:n]),
+            "log_scales": np.asarray(p.log_scales[:n]),
+        }, np.asarray(st.timestep[:n])
+
+    def save_checkpoint(self, time_idx: int):
+        params, timestep = self.gauss_params_numpy()
+        dc = self.config["data"]
+        ckpt_io.save_checkpoint(
+            self.output_dir, time_idx, params, self.cam_rots[None],
+            self.cam_trans[None], timestep, self.intrinsics,
+            self.first_frame_w2c, dc["desired_image_width"],
+            dc["desired_image_height"], self.gt_w2c_all,
+            self.keyframe_time_indices)
+
+    def write_runtime_stats(self, final_frame: int):
+        s = self.stats
+        mean = lambda xs: float(np.mean(xs)) if xs else 0.0
+        d = {
+            "Average Tracking/Iteration Time (ms)":
+                mean(s["tracking_iter_time"]) * 1000,
+            "Average Tracking/Frame Time (s)": mean(s["tracking_frame_time"]),
+            "Average Mapping/Iteration Time (ms)":
+                mean(s["mapping_iter_time"]) * 1000,
+            "Average Mapping/Frame Time (s)": mean(s["mapping_frame_time"]),
+            "Final Frame": int(final_frame),
+        }
+        with open(os.path.join(self.output_dir, "runtime_stats.json"),
+                  "w") as f:
+            json.dump(d, f, indent=2)
+        with open(os.path.join(self.output_dir, "runtime_stats.txt"),
+                  "w") as f:
+            for k, v in d.items():
+                f.write(f"{k}: {v}\n")
+        print(json.dumps(d, indent=2))
+
+
+def rgbd_slam(config: dict, end_at: int | None = None) -> SLAM:
+    """Reference-named entry point (scripts/splatam.py rgbd_slam)."""
+    slam = SLAM(config)
+    slam.run(end_at=end_at)
+    return slam

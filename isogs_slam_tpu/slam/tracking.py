@@ -1,0 +1,139 @@
+"""Per-frame camera tracking as a single jitted while-loop.
+
+The reference runs a host-side Python loop of 10..200 Adam iterations per
+frame, each doing two CUDA renders + backward (scripts/splatam.py:1247-1317).
+Here the *entire* per-frame tracking — loss, gradient, Adam on (quat, trans),
+best-candidate selection, and the TUM-style iteration-doubling stop rule —
+is one `lax.while_loop` inside one XLA program: zero host round-trips per
+iteration.
+
+Reproduced semantics:
+  * loss = masked-sum L1 on color+depth with silhouette>sil_thres mask
+  * fresh Adam per frame (initialize_optimizer, splatam.py:1237) with
+    lrs {cam_unnorm_rots, cam_trans} and eps=1e-8
+  * candidate (quat, trans) stored *after* the Adam step whenever the
+    pre-step loss improves (splatam.py:1281-1290 ordering)
+  * depth_loss_thres rule: at num_iters, stop if weighted depth loss is
+    below the threshold, else double the budget once (splatam.py:1304-1317)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import optim
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..ops.rasterize import RasterConfig
+from .losses import LossConfig, LossOutputs, compute_loss
+
+N_LOG = 6  # loss, im, depth, flat, iso, mean_density
+
+
+class TrackingConfig(NamedTuple):
+    num_iters: int
+    lr_quat: float
+    lr_trans: float
+    use_depth_loss_thres: bool = False
+    depth_loss_thres: float = 100000.0
+    eps: float = 1e-8
+
+
+class TrackResult(NamedTuple):
+    quat: jnp.ndarray       # [4] best candidate
+    trans: jnp.ndarray      # [3]
+    iters_run: jnp.ndarray  # [] int32
+    loss_log: jnp.ndarray   # [2*num_iters, N_LOG], nan-padded
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "lcfg", "tcfg"))
+def track_frame(params: GaussianParams, alive: jnp.ndarray,
+                init_quat: jnp.ndarray, init_trans: jnp.ndarray,
+                gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
+                cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
+                tcfg: TrackingConfig) -> TrackResult:
+    assert lcfg.tracking
+    max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
+    params = jax.tree.map(jax.lax.stop_gradient, params)
+
+    def loss_fn(pose):
+        quat, trans = pose
+        out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
+                           cam, rcfg, lcfg)
+        return out.loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    lrs = (jnp.float32(tcfg.lr_quat), jnp.float32(tcfg.lr_trans))
+
+    class Carry(NamedTuple):
+        pose: tuple
+        opt: optim.AdamState
+        best_pose: tuple
+        min_loss: jnp.ndarray
+        it: jnp.ndarray
+        cur_max: jnp.ndarray
+        doubled: jnp.ndarray
+        done: jnp.ndarray
+        log: jnp.ndarray
+
+    pose0 = (init_quat, init_trans)
+    init = Carry(pose=pose0, opt=optim.init(pose0), best_pose=pose0,
+                 min_loss=jnp.asarray(1e20, jnp.float32),
+                 it=jnp.zeros((), jnp.int32),
+                 cur_max=jnp.asarray(tcfg.num_iters, jnp.int32),
+                 doubled=jnp.zeros((), bool), done=jnp.zeros((), bool),
+                 log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32))
+
+    def cond(c: Carry):
+        return ~c.done
+
+    def body(c: Carry):
+        (loss, out), grads = grad_fn(c.pose)
+        new_pose, new_opt = optim.step(c.pose, grads, c.opt, lrs,
+                                       eps=tcfg.eps)
+        improved = loss < c.min_loss
+        best_pose = jax.tree.map(
+            lambda b, n: jnp.where(improved, n, b), c.best_pose, new_pose)
+        min_loss = jnp.minimum(loss, c.min_loss)
+        log = c.log.at[c.it].set(jnp.stack(
+            [out.loss, out.im, out.depth, out.flat, out.iso,
+             out.mean_density]))
+        it = c.it + 1
+        at_limit = it >= c.cur_max
+        if tcfg.use_depth_loss_thres:
+            below = out.depth < tcfg.depth_loss_thres
+            do_double = at_limit & ~below & ~c.doubled
+            done = at_limit & (below | c.doubled)
+            cur_max = jnp.where(do_double, 2 * tcfg.num_iters, c.cur_max)
+            doubled = c.doubled | do_double
+        else:
+            done = at_limit
+            cur_max = c.cur_max
+            doubled = c.doubled
+        return Carry(pose=new_pose, opt=new_opt, best_pose=best_pose,
+                     min_loss=min_loss, it=it, cur_max=cur_max,
+                     doubled=doubled, done=done, log=log)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return TrackResult(quat=final.best_pose[0], trans=final.best_pose[1],
+                       iters_run=final.it, loss_log=final.log)
+
+
+def initialize_camera_pose(cam_rots, cam_trans, time_idx: int,
+                           forward_prop: bool):
+    """Constant-velocity pose initialization (splatam.py:844-863).
+    cam_rots [4, T], cam_trans [3, T] numpy/jnp; returns (quat, trans)."""
+    if time_idx > 1 and forward_prop:
+        r1 = cam_rots[:, time_idx - 1]
+        r1 = r1 / jnp.linalg.norm(r1)
+        r2 = cam_rots[:, time_idx - 2]
+        r2 = r2 / jnp.linalg.norm(r2)
+        new_rot = r1 + (r1 - r2)
+        new_rot = new_rot / jnp.linalg.norm(new_rot)
+        t1 = cam_trans[:, time_idx - 1]
+        t2 = cam_trans[:, time_idx - 2]
+        return new_rot, t1 + (t1 - t2)
+    return cam_rots[:, time_idx - 1], cam_trans[:, time_idx - 1]

@@ -1,0 +1,18 @@
+"""Test harness setup: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding logic is exercised on
+XLA's host-platform virtual devices instead (the driver separately dry-runs
+the multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+import os
+import sys
+
+# The environment pins JAX_PLATFORMS=axon (tunneled TPU); tests must run
+# on local virtual CPU devices — force it (setdefault would lose).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

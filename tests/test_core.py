@@ -1,0 +1,166 @@
+"""Unit tests for map state management, Adam, SSIM, and the IsoGS losses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isogs_slam_tpu.core import gaussians as G
+from isogs_slam_tpu.core import optim
+from isogs_slam_tpu.ops.iso_loss import flat_loss, iso_surface_loss, knn_blocked
+from isogs_slam_tpu.ops.ssim import calc_ssim, ms_ssim, psnr
+
+
+def test_append_prune_compact():
+    st = G.empty_state(64)
+    rows = G.new_gaussian_rows(
+        jnp.arange(30, dtype=jnp.float32)[:, None].repeat(3, 1),
+        jnp.ones((30, 3)), jnp.full((30,), 0.01))
+    valid = jnp.arange(30) % 2 == 0   # 15 valid
+    st = jax.jit(G.append_rows)(st, rows, valid, 3.0)
+    assert int(st.hwm) == 15
+    assert int(st.num_alive()) == 15
+    # appended rows are the valid ones, in order
+    np.testing.assert_allclose(np.asarray(st.params.means3d[:3, 0]),
+                               [0, 2, 4])
+    np.testing.assert_allclose(np.asarray(st.timestep[:15]), 3.0)
+
+    # prune odd rows then compact
+    remove = (jnp.arange(64) % 2 == 1) & st.alive
+    st = G.prune(st, remove)
+    assert int(st.num_alive()) == 8
+    st = jax.jit(G.compact)(st)
+    assert int(st.hwm) == 8
+    assert bool(jnp.all(st.alive[:8])) and not bool(jnp.any(st.alive[8:]))
+    np.testing.assert_allclose(np.asarray(st.params.means3d[:4, 0]),
+                               [0, 4, 8, 12])
+
+
+def test_append_overflow_drops():
+    st = G.empty_state(8)
+    rows = G.new_gaussian_rows(jnp.ones((20, 3)), jnp.ones((20, 3)),
+                               jnp.full((20,), 0.01))
+    st = G.append_rows(st, rows, jnp.ones(20, bool), 0.0)
+    assert int(st.hwm) == 8
+    assert int(st.num_alive()) == 8
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(5, 3)).astype(np.float32)
+    grads = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=0.01, eps=1e-8)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    jp = jnp.asarray(p0)
+    st = optim.init(jp)
+    for g in grads:
+        jp, st = optim.step(jp, jnp.asarray(g), st, jnp.float32(0.01),
+                            eps=1e-8)
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_matches_torch_conv():
+    """calc_ssim vs the Inria torch implementation re-run in torch."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (3, 32, 40)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+    # torch reference (slam_external.py:54-97 math)
+    xs = np.arange(11) - 5
+    g = np.exp(-(xs ** 2) / (2 * 1.5 ** 2)); g /= g.sum()
+    w = np.outer(g, g).astype(np.float32)
+    win = torch.tensor(w).expand(3, 1, 11, 11).contiguous()
+    ta, tb = torch.tensor(a)[None], torch.tensor(b)[None]
+    filt = lambda x: F.conv2d(x, win, padding=5, groups=3)
+    mu1, mu2 = filt(ta), filt(tb)
+    s1 = filt(ta * ta) - mu1 ** 2
+    s2 = filt(tb * tb) - mu2 ** 2
+    s12 = filt(ta * tb) - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+           / ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))).mean().item()
+
+    got = float(jax.jit(calc_ssim)(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_psnr():
+    a = np.zeros((3, 8, 8), np.float32)
+    b = np.full((3, 8, 8), 0.1, np.float32)
+    assert abs(psnr(a, b) - 20.0) < 1e-4
+
+
+def test_knn_blocked_correct():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    q = rng.normal(size=(17, 3)).astype(np.float32)
+    valid = jnp.asarray(rng.uniform(size=300) > 0.3)
+    d2, idx = jax.jit(lambda a, b, v: knn_blocked(a, b, v, 5, block=64))(
+        jnp.asarray(q), jnp.asarray(pts), valid)
+    vnp = np.asarray(valid)
+    full = ((q[:, None, :] - pts[None]) ** 2).sum(-1)
+    full[:, ~vnp] = np.inf
+    ref_idx = np.argsort(full, axis=1)[:, :5]
+    ref_d = np.take_along_axis(full, ref_idx, axis=1)
+    np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1),
+                               np.sort(ref_d, axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_flat_and_iso_losses_finite_diff():
+    rng = np.random.default_rng(3)
+    n = 40
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    log_scales = np.log(rng.uniform(0.05, 0.3, (n, 3))).astype(np.float32)
+    logit_op = rng.normal(size=(n, 1)).astype(np.float32)
+    alive = jnp.ones(n, bool)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def f(m, q, s, o):
+        l, _ = iso_surface_loss(m, q, s, o, alive, key, sample_size=16,
+                                k=4, knn_block=16)
+        return l + flat_loss(s, alive)
+
+    args = [jnp.asarray(x) for x in (means, quats, log_scales, logit_op)]
+    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(*args)
+    eps = 1e-3
+    rng2 = np.random.default_rng(0)
+    for ai in range(4):
+        a = np.asarray(args[ai]); flat = a.reshape(-1)
+        for idx in rng2.choice(flat.size, size=5, replace=False):
+            ap = flat.copy(); ap[idx] += eps
+            am = flat.copy(); am[idx] -= eps
+            largs_p = list(args); largs_p[ai] = jnp.asarray(
+                ap.reshape(a.shape))
+            largs_m = list(args); largs_m[ai] = jnp.asarray(
+                am.reshape(a.shape))
+            fd = (float(f(*largs_p)) - float(f(*largs_m))) / (2 * eps)
+            an = float(np.asarray(grads[ai]).reshape(-1)[idx])
+            # KNN index flips near ties make fd noisy; modest tolerance
+            assert abs(fd - an) < max(0.1 * max(abs(fd), abs(an)), 5e-3), \
+                (ai, idx, fd, an)
+
+
+def test_iso_density_value():
+    """Single isotropic Gaussian at the query point: D = opacity."""
+    means = jnp.zeros((2, 3)).at[1].set(jnp.array([10.0, 0, 0]))
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1))
+    log_scales = jnp.zeros((2, 3))
+    logit_op = jnp.zeros((2, 1))  # sigmoid -> 0.5
+    alive = jnp.ones(2, bool)
+    loss, mean_d = iso_surface_loss(means, quats, log_scales, logit_op,
+                                    alive, jax.random.PRNGKey(0),
+                                    sample_size=2, k=2, knn_block=2)
+    # each query sits on one gaussian (D~0.5) and far from the other
+    assert abs(float(mean_d) - 0.5) < 1e-3
+    assert abs(float(loss) - 0.25) < 1e-3
