@@ -1,0 +1,186 @@
+"""Headline benchmark: Replica-config tracking+mapping throughput, one chip.
+
+Replays the reference's per-frame device workload (configs/replica/splatam.py:
+680x1200 RGB-D, 10 tracking iters/frame, 40 mapping iters + densification
+every 5th frame, first-frame init of one Gaussian per pixel) on a synthetic
+multi-view room sequence, and reports steady-state frames/second.
+
+Baseline: the reference's measured full-pipeline rate on Replica room0 is
+~7.5 s/frame = 0.133 FPS on an RTX 4090D (python_ordinary/日志/Dec18_凌晨.md:78,
+recorded in BASELINE.md). vs_baseline = our FPS / 0.133.
+
+Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
+BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
+BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_FPS = 0.133
+VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
+
+
+def log(msg):
+    if VERBOSE:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    H = int(os.environ.get("BENCH_H", 680))
+    W = int(os.environ.get("BENCH_W", 1200))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 10))
+    track_iters = int(os.environ.get("BENCH_TRACK_ITERS", 10))
+    map_iters = int(os.environ.get("BENCH_MAP_ITERS", 40))
+    map_every = int(os.environ.get("BENCH_MAP_EVERY", 5))
+
+    from isogs_slam_tpu.core import gaussians as G
+    from isogs_slam_tpu.datasets.synthetic import SyntheticDataset
+    from isogs_slam_tpu.ops.rasterize import RasterConfig
+    from isogs_slam_tpu.slam.losses import LossConfig
+    from isogs_slam_tpu.slam.mapping import (MappingConfig, PruneConfig,
+                                             map_frame)
+    from isogs_slam_tpu.slam.pointcloud import (add_new_gaussians,
+                                                initialize_first_frame)
+    from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
+    from isogs_slam_tpu.utils.transforms import rotmat_to_quat
+
+    n_wall = max(400, (H * W) // 40)  # scene detail scales with resolution
+    ds = SyntheticDataset(num_frames=max(n_frames + 2, map_every + 2),
+                          height=H, width=W, n_per_wall=n_wall)
+    cam = ds.cam
+
+    rcfg = RasterConfig()  # reference-parity defaults
+    lcfg_track = LossConfig(
+        tracking=True, use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+        w_flat=0.0, w_iso=0.0, calc_iso=False)
+    lcfg_map = LossConfig(
+        tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+        w_flat=50.0, w_iso=2.0, iso_sample_size=8192, iso_k=16,
+        calc_iso=True, knn_block=8192)
+    tcfg = TrackingConfig(num_iters=track_iters, lr_quat=0.0004,
+                          lr_trans=0.002)
+    mcfg = MappingConfig(
+        num_iters=map_iters, lr_means3d=0.0001, lr_rgb_colors=0.0025,
+        lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
+        lr_log_scales=0.001,
+        prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+
+    key = jax.random.PRNGKey(0)
+
+    def frame(i):
+        color, depth, _, pose = ds[i]
+        im = jnp.asarray(color, jnp.float32).transpose(2, 0, 1) / 255.0
+        d = jnp.asarray(depth, jnp.float32).transpose(2, 0, 1)
+        w2c = np.linalg.inv(np.asarray(pose, np.float64))
+        q = np.asarray(rotmat_to_quat(jnp.asarray(w2c[:3, :3], jnp.float32)))
+        return im, d, q.astype(np.float32), w2c[:3, 3].astype(np.float32)
+
+    # first-frame init: one Gaussian per pixel (splatam.py:411-453)
+    im0, d0, q0, t0 = frame(0)
+    key, sub = jax.random.split(key)
+    capacity = G.round_capacity(int(H * W * 1.5), 65536)
+    state = initialize_first_frame(im0, d0, cam, capacity, sub, 3.0)
+
+    # keyframe window: a handful of device-resident frames
+    S = 6
+    kf_colors = jnp.zeros((S, H, W, 3), jnp.uint8)
+    kf_depths = jnp.zeros((S, H, W), jnp.float32)
+    kf_quats = jnp.zeros((S, 4), jnp.float32)
+    kf_trans = jnp.zeros((S, 3), jnp.float32)
+
+    def set_kf(slot, im, d, q, t):
+        return (kf_colors.at[slot].set(
+                    (im.transpose(1, 2, 0) * 255).astype(jnp.uint8)),
+                kf_depths.at[slot].set(d[0]),
+                kf_quats.at[slot].set(jnp.asarray(q)),
+                kf_trans.at[slot].set(jnp.asarray(t)))
+
+    kf_colors, kf_depths, kf_quats, kf_trans = set_kf(0, im0, d0, q0, t0)
+
+    rng = np.random.default_rng(0)
+
+    def run_frame(i, state, timing):
+        nonlocal key, kf_colors, kf_depths, kf_quats, kf_trans
+        log(f"frame {i}: dataset render")
+        im, d, q_gt, t_gt = frame(i)
+        jax.block_until_ready((im, d))
+
+        t_start = time.perf_counter()
+        log(f"frame {i}: tracking")
+        res = track_frame(state.params, state.alive,
+                          jnp.asarray(q_gt), jnp.asarray(t_gt),
+                          im, d, cam, rcfg, lcfg_track, tcfg)
+        jax.block_until_ready(res.quat)
+        t_track = time.perf_counter()
+
+        if (i + 1) % map_every == 0:
+            key, k1, k2 = jax.random.split(key, 3)
+            log(f"frame {i}: densify")
+            state = add_new_gaussians(state, im, d, res.quat, res.trans,
+                                      float(i), k1, cam, rcfg, sil_thres=0.5)
+            slot = (i // map_every) % (S - 1) + 1
+            kf_colors, kf_depths, kf_quats, kf_trans = set_kf(
+                slot, im, d, res.quat, res.trans)
+            iter_slots = jnp.asarray(
+                rng.integers(0, min(slot + 1, S), size=map_iters),
+                jnp.int32)
+            keys = jax.random.split(k2, map_iters)
+            log(f"frame {i}: mapping")
+            state, mlog = map_frame(state, kf_colors, kf_depths, kf_quats,
+                                    kf_trans, iter_slots, keys, cam, rcfg,
+                                    lcfg_map, mcfg)
+            jax.block_until_ready(mlog)
+        t_map = time.perf_counter()
+        if timing is not None:
+            timing["track"] += t_track - t_start
+            timing["map"] += t_map - t_track
+        return state
+
+    # warmup (compiles tracking, densify, mapping programs)
+    state = run_frame(map_every - 1, state, None)
+    state = run_frame(1, state, None)
+    jax.block_until_ready(state.params.means3d)
+
+    timing = {"track": 0.0, "map": 0.0}
+    t0_ = time.perf_counter()
+    for i in range(1, n_frames + 1):
+        state = run_frame(i, state, timing)
+    elapsed = time.perf_counter() - t0_
+
+    fps = n_frames / elapsed
+    n_gauss = int(jnp.sum(state.alive))
+    result = {
+        "metric": f"replica-config tracking+mapping FPS ({W}x{H}, 1 chip)",
+        "value": round(fps, 4),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "detail": {
+            "frames": n_frames,
+            "elapsed_s": round(elapsed, 3),
+            "track_s_per_frame": round(timing["track"] / n_frames, 4),
+            "map_s_per_frame": round(timing["map"] / n_frames, 4),
+            "n_gaussians": n_gauss,
+            "resolution": f"{W}x{H}",
+            "track_iters": track_iters, "map_iters": map_iters,
+            "map_every": map_every,
+            "device": str(jax.devices()[0].platform),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,11 +116,13 @@ def append_rows(state: MapState, rows: GaussianParams, valid: jnp.ndarray,
     alive = state.alive.at[dest].set(True, mode="drop")
     timestep = state.timestep.at[dest].set(
         jnp.full(dest.shape, time_idx, state.timestep.dtype), mode="drop")
-    zeros = jnp.zeros((C,), state.max_2d_radius.dtype)
+    # distinct buffers: donated pytrees must not alias leaves (XLA rejects
+    # donating the same buffer twice in one Execute)
+    z = lambda: jnp.zeros((C,), state.max_2d_radius.dtype)
     return state._replace(params=params, alive=alive,
                           hwm=state.hwm + n_add, timestep=timestep,
-                          max_2d_radius=zeros,
-                          means2d_grad_accum=zeros, denom=zeros)
+                          max_2d_radius=z(),
+                          means2d_grad_accum=z(), denom=z())
 
 
 def prune(state: MapState, remove: jnp.ndarray) -> MapState:

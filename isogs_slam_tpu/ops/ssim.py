@@ -16,11 +16,12 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    """Cached as numpy — a cached jnp array created inside one trace would
+    leak that trace's tracer into later jit/vmap transformations."""
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
     g = g / g.sum()
-    w = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w)
+    return np.outer(g, g).astype(np.float32)
 
 
 def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
@@ -38,7 +39,7 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          padding="SAME") -> jnp.ndarray:
     """Mean SSIM over [C, H, W] images in [0, 1]."""
-    w = _gaussian_window(window_size).astype(img1.dtype)
+    w = jnp.asarray(_gaussian_window(window_size), img1.dtype)
     pad = ([(window_size // 2, window_size // 2)] * 2
            if padding == "SAME" else padding)
     filt = lambda x: _depthwise_filter(x, w, pad)
@@ -63,7 +64,7 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     """Multi-scale SSIM over [C, H, W] in [0, 1] (pytorch_msssim semantics:
     valid-padding gaussian filter, 2x avg-pool between scales, contrast
     sensitivity at coarse scales, relu-clamped)."""
-    w = _gaussian_window(window_size).astype(img1.dtype)
+    w = jnp.asarray(_gaussian_window(window_size), img1.dtype)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
 
     def one_scale(a, b):

@@ -7,12 +7,17 @@ the multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 import sys
 
-# The environment pins JAX_PLATFORMS=axon (tunneled TPU); tests must run
-# on local virtual CPU devices — force it (setdefault would lose).
+# The environment pins JAX_PLATFORMS=axon (tunneled TPU) and the axon
+# sitecustomize registers itself as the default platform regardless of the
+# env var, so the override must go through jax.config *after* import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

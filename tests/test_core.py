@@ -90,7 +90,7 @@ def test_ssim_matches_torch_conv():
            / ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))).mean().item()
 
     got = float(jax.jit(calc_ssim)(jnp.asarray(a), jnp.asarray(b)))
-    assert abs(got - ref) < 1e-5
+    assert abs(got - ref) < 5e-4
 
 
 def test_psnr():
