@@ -87,12 +87,18 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
                      alive: jnp.ndarray, key: jax.Array,
                      sample_size: int = 8192, k: int = 16,
                      target_saturation: float = 1.0,
-                     knn_block: int = 8192):
+                     knn_block: int = 8192, knn_method: str = "hash",
+                     hash_cap: int = 32, hash_table_size: int = 1 << 16):
     """Sampled iso-surface density loss. Returns (loss, mean_density).
 
     Query points are a fresh random subset of alive Gaussian centers each
     call (stochastic sampling of splatam.py:645-655); gradients flow into
     both queries and neighbors, as in the reference.
+
+    knn_method: "hash" = uniform-grid spatial hash (the C++ tree's
+    spatial_hash.cu design; O(Q*27*cap), one C-key sort per call),
+    "exact" = streaming blocked top-k merge (O(Q*C), reference python
+    semantics; prohibitive at C ~ 10^6 on TPU).
     """
     C = means.shape[0]
     # random alive subset: perturbed keys, smallest-first -> uniform subset
@@ -102,8 +108,16 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
     queries = means[q_idx]                                         # [Q,3]
 
     # KNN over alive Gaussians (indices are order statistics; stop grads)
-    d2, nbr = knn_blocked(jax.lax.stop_gradient(queries),
-                          jax.lax.stop_gradient(means), alive, k, knn_block)
+    means_sg = jax.lax.stop_gradient(means)
+    queries_sg = jax.lax.stop_gradient(queries)
+    if knn_method == "hash":
+        from .spatial_hash import (build_hash_grid, default_cell_size,
+                                   knn_hash)
+        cell = default_cell_size(jax.lax.stop_gradient(log_scales), alive)
+        grid = build_hash_grid(means_sg, alive, cell, hash_table_size)
+        d2, nbr = knn_hash(grid, means_sg, queries_sg, k, hash_cap)
+    else:
+        d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)
 
     # Neighbor data (gathered; Sigma^{-1} built only on the [Q,K] set
     # instead of all N as the reference does — same math, less memory)

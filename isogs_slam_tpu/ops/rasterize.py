@@ -45,6 +45,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -63,13 +64,21 @@ class RasterConfig(NamedTuple):
     """Static rasterizer sizing. All fields participate in jit cache keys."""
 
     max_per_tile: int = 512   # front-most Gaussians composited per tile
-    isect_per_gaussian: float = 4.0  # max_isect = N * this (capacity heuristic)
+    isect_per_gaussian: float = 2.5  # max_isect = N * this (capacity heuristic)
     tile_chunk: int = 256     # tiles composited per lax.map step (memory knob)
+    # compositing backend: "auto" = Pallas kernel on TPU, fused-XLA elsewhere;
+    # "pallas" / "xla" force; "pallas-interpret" for kernel tests on CPU
+    backend: str = "auto"
 
     def max_isect(self, num_gaussians: int) -> int:
         m = int(num_gaussians * self.isect_per_gaussian)
         # keep sort sizes friendly: round up to a multiple of 1024
         return max(1024, (m + 1023) // 1024 * 1024)
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class Projected(NamedTuple):
@@ -86,7 +95,8 @@ class Projected(NamedTuple):
 def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
                       log_scales: jnp.ndarray, alive: jnp.ndarray,
                       cam: Camera,
-                      means2d_offset: jnp.ndarray | None = None) -> Projected:
+                      means2d_offset: jnp.ndarray | None = None,
+                      margin_px: float = 0.0) -> Projected:
     """Per-Gaussian EWA projection (the analog of gsplat's
     `projection_ewa_3dgs_fused_fwd` used at cpp/src/rendering/renderer.cpp:83-100).
 
@@ -106,11 +116,30 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
         u = u + means2d_offset[:, 0]
         v = v + means2d_offset[:, 1]
 
-    # 3D covariance Sigma = (R S)(R S)^T
-    R = quat_to_rotmat(quats)                      # [N,3,3]
+    # 3D covariance Sigma = R diag(s^2) R^T, computed component-wise:
+    # [N,3,3] tensors have a catastrophic TPU layout (3-lane rows padded to
+    # 128), so keep everything as [N] vectors.
+    qn = quats / jnp.maximum(
+        jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)), 1e-12)
+    r, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
     s = jnp.exp(log_scales)                        # [N,3]
-    RS = R * s[:, None, :]
-    sigma = RS @ jnp.swapaxes(RS, 1, 2)            # [N,3,3]
+    v0, v1, v2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    # Sigma_ij = sum_k R_ik v_k R_jk (6 unique entries)
+    s00 = r00 * v0 * r00 + r01 * v1 * r01 + r02 * v2 * r02
+    s01 = r00 * v0 * r10 + r01 * v1 * r11 + r02 * v2 * r12
+    s02 = r00 * v0 * r20 + r01 * v1 * r21 + r02 * v2 * r22
+    s11 = r10 * v0 * r10 + r11 * v1 * r11 + r12 * v2 * r12
+    s12 = r10 * v0 * r20 + r11 * v1 * r21 + r12 * v2 * r22
+    s22 = r20 * v0 * r20 + r21 * v1 * r21 + r22 * v2 * r22
 
     # Frustum-clamped perspective Jacobian. CUDA uses raw t.z here (the
     # 1e-7 guard only applies to the homogeneous divide above); guard z=0
@@ -128,8 +157,6 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     j11 = cam.fy * inv_z
     j12 = -cam.fy * tyc * inv_z2
     # cov2d = J Sigma J^T (2x2 symmetric), expanded to avoid 3x3 matmuls
-    s00, s01, s02 = sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2]
-    s11, s12, s22 = sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]
     # rows of J Sigma: r0 = j00*S[0,:] + j02*S[2,:]; r1 = j11*S[1,:] + j12*S[2,:]
     r0x = j00 * s00 + j02 * s02
     r0z = j00 * s02 + j02 * s22
@@ -150,12 +177,16 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
 
     valid = alive & (tz > NEAR_CULL_Z) & (det != 0)
 
-    # Tile rect (inclusive min, exclusive max), CUDA getRect semantics
+    # Tile rect (inclusive min, exclusive max), CUDA getRect semantics.
+    # margin_px widens the rect only — used when a binning is reused across
+    # pose/parameter micro-updates (tracking) so frozen tile lists stay
+    # conservative supersets.
+    rr = radius_f + margin_px
     gx, gy = cam.tiles_x, cam.tiles_y
-    rxmin = jnp.clip(jnp.floor((u - radius_f) / TILE), 0, gx).astype(jnp.int32)
-    rymin = jnp.clip(jnp.floor((v - radius_f) / TILE), 0, gy).astype(jnp.int32)
-    rxmax = jnp.clip(jnp.floor((u + radius_f + TILE - 1) / TILE), 0, gx).astype(jnp.int32)
-    rymax = jnp.clip(jnp.floor((v + radius_f + TILE - 1) / TILE), 0, gy).astype(jnp.int32)
+    rxmin = jnp.clip(jnp.floor((u - rr) / TILE), 0, gx).astype(jnp.int32)
+    rymin = jnp.clip(jnp.floor((v - rr) / TILE), 0, gy).astype(jnp.int32)
+    rxmax = jnp.clip(jnp.floor((u + rr + TILE - 1) / TILE), 0, gx).astype(jnp.int32)
+    rymax = jnp.clip(jnp.floor((v + rr + TILE - 1) / TILE), 0, gy).astype(jnp.int32)
     tiles_touched = jnp.maximum(rxmax - rxmin, 0) * jnp.maximum(rymax - rymin, 0)
     valid = valid & (tiles_touched > 0) & (radius_f > 0)
 
@@ -177,50 +208,60 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     """Depth-ordered per-tile Gaussian lists with static shapes.
 
     Replaces the CUDA `intersect_tile`/`intersect_offset` duplication + 64-bit
-    radix sort (renderer.cpp:192-212) with: global depth argsort (N keys),
-    fixed-capacity intersection expansion via jnp.repeat, stable argsort by
-    tile id (preserving depth order within a tile), and searchsorted range
-    extraction.
+    (tile | depth-bits) radix sort (renderer.cpp:192-212) with ONE 32-bit
+    packed-key sort: key = tile_id << db | quantize(log depth, db bits).
+    Quantized depth only decides the within-tile blend order; ~20 bits of log
+    depth over [near, far] is far below any visible ordering difference.
+    Fixed-capacity expansion (jnp.repeat) keeps every shape static.
     """
     N = proj.u.shape[0]
     num_tiles = cam.num_tiles
     K = cfg.max_per_tile
     M = cfg.max_isect(N)
+    # depth bits: all that remain after the tile id (pad sentinel = 2^32-1)
+    db = 32 - max(int(num_tiles + 1).bit_length(), 1)
+    db = max(min(db, 24), 8)
 
-    # indices are order statistics; no gradients flow through them
-    depth = jax.lax.stop_gradient(proj.depth)
-    sort_key = jnp.where(proj.valid, depth, jnp.inf)
-    order = jnp.argsort(sort_key)                  # [N] gaussian ids, near->far
-
-    rect_min = proj.rect_min[order]
-    rect_max = proj.rect_max[order]
-    span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
-    span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
-    counts = jnp.where(proj.valid[order], span_x * span_y, 0).astype(jnp.int32)
+    span_x = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
+    span_y = jnp.maximum(proj.rect_max[:, 1] - proj.rect_min[:, 1], 0)
+    counts = jnp.where(proj.valid, span_x * span_y, 0).astype(jnp.int32)
     offs = jnp.cumsum(counts) - counts             # exclusive prefix sum
     total = offs[-1] + counts[-1]
 
-    # expand: one entry per (gaussian, covered tile), in global depth order
+    # quantized near->far order key (indices are order statistics; no grads)
+    depth = jax.lax.stop_gradient(proj.depth)
+    zn, zf = NEAR_CULL_Z, 1000.0
+    t = jnp.log(jnp.clip(depth, zn, zf) / zn) / float(np.log(zf / zn))
+    qz = (t * ((1 << db) - 1)).astype(jnp.uint32)
+
+    # expand: one entry per (gaussian, covered tile). Per-gaussian fields are
+    # bit-packed so the [M]-sized random access is 3 gathers, not 6:
+    # packed = rect_min.x (10b) | rect_min.y (10b) | span_x (10b).
+    packed = (proj.rect_min[:, 0].astype(jnp.uint32)
+              | (proj.rect_min[:, 1].astype(jnp.uint32) << 10)
+              | (span_x.astype(jnp.uint32) << 20))
     src = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
-                     total_repeat_length=M)        # index into `order`
+                     total_repeat_length=M)
     pos = jnp.arange(M, dtype=jnp.int32)
+    pk = packed[src]
     local = pos - offs[src]
-    sx = jnp.maximum(span_x[src], 1)
-    tile_x = rect_min[src, 0] + local % sx
-    tile_y = rect_min[src, 1] + local // sx
-    tile_id = tile_y * cam.tiles_x + tile_x
-    # padding/truncation sentinel: sorts after every real tile
+    rxmin = (pk & 0x3FF).astype(jnp.int32)
+    rymin = ((pk >> 10) & 0x3FF).astype(jnp.int32)
+    sx = jnp.maximum((pk >> 20).astype(jnp.int32), 1)
+    tile_x = rxmin + local % sx
+    tile_y = rymin + local // sx
+    tile_id = (tile_y * cam.tiles_x + tile_x).astype(jnp.uint32)
+    key = (tile_id << db) | qz[src]
     in_range = pos < jnp.minimum(total, M)
-    tile_id = jnp.where(in_range, tile_id, num_tiles).astype(jnp.int32)
+    key = jnp.where(in_range, key, jnp.uint32(0xFFFFFFFF))
 
-    # stable sort by tile keeps near->far order within each tile
-    perm = jnp.argsort(tile_id, stable=True)
-    sorted_tile = tile_id[perm]
-    sorted_gauss = order[src][perm]
+    sorted_key, sorted_gauss = jax.lax.sort((key, src), num_keys=1)
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    tids = jnp.arange(num_tiles, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sorted_key, tids << db,
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_key, (tids + 1) << db,
+                            side="left").astype(jnp.int32)
     full_count = ends - starts
     tile_count = jnp.minimum(full_count, K)
 
@@ -303,6 +344,23 @@ def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
     ty = jnp.arange(num_tiles, dtype=jnp.int32) // cam.tiles_x
     origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
 
+    backend = cfg.resolve_backend()
+    if backend in ("pallas", "pallas-interpret"):
+        from .pallas_composite import CHUNK, composite_tiles
+        # the kernel works in tile-local pixel coords; shift u, v
+        shift = jnp.concatenate(
+            [origins.astype(gdata.dtype),
+             jnp.zeros((num_tiles, 4 + F), gdata.dtype)], axis=-1)
+        gdata = gdata - shift[:, None, :]
+        pad_k = (-K) % CHUNK
+        if pad_k:
+            gdata = jnp.concatenate(
+                [gdata, jnp.zeros((num_tiles, pad_k, 6 + F), gdata.dtype)],
+                axis=1)
+        out, final_t = composite_tiles(
+            gdata, counts, F, backend == "pallas-interpret")
+        return out, final_t
+
     # composite in chunks of tiles to bound the [chunk, K, 256] intermediates
     chunk = min(cfg.tile_chunk, num_tiles)
     pad_tiles = (-num_tiles) % chunk
@@ -334,7 +392,8 @@ def render(means_cam: jnp.ndarray,
            alive: jnp.ndarray,
            cam: Camera,
            cfg: RasterConfig = RasterConfig(),
-           means2d_offset: jnp.ndarray | None = None):
+           means2d_offset: jnp.ndarray | None = None,
+           binning: Binning | None = None):
     """Full differentiable render.
 
     Inputs (all fixed-capacity [N, ...] with `alive` masking the real prefix):
@@ -352,7 +411,12 @@ def render(means_cam: jnp.ndarray,
     opacity = jax.nn.sigmoid(logit_opacities[:, 0])
     proj = project_gaussians(means_cam, quats_cam, log_scales, alive, cam,
                              means2d_offset)
-    binning = bin_gaussians(proj, cam, cfg)
+    if binning is None:
+        binning = bin_gaussians(proj, cam, cfg)
+    else:
+        # frozen tile lists may reference Gaussians culled at the current
+        # pose; silence them instead of compositing stale conics
+        opacity = jnp.where(proj.valid, opacity, 0.0)
     tiles_out, tiles_t = composite(proj, opacity, features, binning, cam, cfg)
 
     F = features.shape[-1]
@@ -375,7 +439,7 @@ def render(means_cam: jnp.ndarray,
 
 def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
                     rgb_colors, alive, cam, cfg: RasterConfig = RasterConfig(),
-                    means2d_offset=None):
+                    means2d_offset=None, binning: Binning | None = None):
     """Fused RGB + depth + silhouette + depth^2 render.
 
     The reference rasterizes twice per loss evaluation — once for RGB and once
@@ -388,7 +452,7 @@ def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
     feats = jnp.concatenate(
         [rgb_colors, z, jnp.ones_like(z), z * z], axis=-1)
     out = render(means_cam, quats_cam, log_scales, logit_opacities, feats,
-                 alive, cam, cfg, means2d_offset)
+                 alive, cam, cfg, means2d_offset, binning)
     img = out["image"]
     return (img[0:3], img[3:4], img[4], img[5:6],
             {"radii": out["radii"], "final_T": out["final_T"],

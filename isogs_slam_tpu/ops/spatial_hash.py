@@ -1,0 +1,117 @@
+"""Uniform-grid spatial hash KNN — the TPU-native analog of the reference's
+CUDA spatial hash (`cpp/cuda/kernels/spatial_hash.cu`: grid build kernel +
+27-cell KNN query with a candidate cap, `cpp/src/utils/spatial_hash.cpp`).
+
+The streaming exact KNN in `ops/iso_loss.knn_blocked` is O(Q * C) with a
+top_k merge per block — on TPU each merge lowers to a full sort, which made
+the iso loss the dominant cost of a mapping iteration at C ~ 10^6. This
+module replaces it with the classic O(Q * 27 * cap) uniform-grid query:
+
+  build:  hash each point's integer cell to a power-of-two table, argsort
+          point ids by hash (one sort of C keys), bucket ranges via
+          searchsorted — all static shapes.
+  query:  gather up to `cap` candidates from each of the 27 neighboring
+          cells, reject hash collisions by comparing exact cell coords,
+          exact top-k over the [Q, 27*cap] candidate distances.
+
+Approximation (same as the CUDA kernel's candidate cap 256): cells holding
+more than `cap` points contribute only their first `cap` (in hash-sorted
+order). For the stochastic iso-surface regularizer this is benign; tests
+check recall against brute force.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
+
+
+class HashGrid(NamedTuple):
+    order: jnp.ndarray       # [C] int32 point ids sorted by hash bucket
+    cell_of: jnp.ndarray     # [C, 3] int32 cell coords per *sorted* point
+    starts: jnp.ndarray      # [H] int32 bucket start in `order`
+    ends: jnp.ndarray        # [H] int32 bucket end
+    cell_size: jnp.ndarray   # [] f32
+    table_size: int          # static, power of two
+
+
+def _cell_coords(points, cell_size):
+    return jnp.floor(points / cell_size).astype(jnp.int32)
+
+
+def _hash_cells(cells, table_size):
+    h = (cells[..., 0] * _P1) ^ (cells[..., 1] * _P2) ^ (cells[..., 2] * _P3)
+    return (h & (table_size - 1)).astype(jnp.int32)
+
+
+def median_alive(values: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """Median of values[alive] with static shapes (dead sort to +inf)."""
+    v = jnp.where(alive, values, jnp.inf)
+    v = jnp.sort(v)
+    n = jnp.sum(alive.astype(jnp.int32))
+    idx = jnp.maximum(n // 2, 0)
+    return v[jnp.clip(idx, 0, values.shape[0] - 1)]
+
+
+def default_cell_size(log_scales, alive, factor: float = 3.0):
+    """Heuristic: gaussian scales track local point spacing (init sets
+    scale = depth/f = pixel footprint, splatam.py:326-338), so a cell of a
+    few spacings holds ~K surface points."""
+    mean_scale = jnp.exp(jnp.mean(log_scales, axis=1))
+    med = median_alive(mean_scale, alive)
+    return jnp.clip(factor * med, 1e-4, 1e3)
+
+
+def build_hash_grid(points, alive, cell_size, table_size: int = 1 << 16
+                    ) -> HashGrid:
+    cells = _cell_coords(points, cell_size)
+    h = _hash_cells(cells, table_size)
+    h = jnp.where(alive, h, table_size)  # dead points sort past every bucket
+    order = jnp.argsort(h).astype(jnp.int32)
+    h_sorted = h[order]
+    buckets = jnp.arange(table_size, dtype=jnp.int32)
+    starts = jnp.searchsorted(h_sorted, buckets, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(h_sorted, buckets, side="right").astype(jnp.int32)
+    return HashGrid(order=order, cell_of=cells[order], starts=starts,
+                    ends=ends, cell_size=cell_size, table_size=table_size)
+
+
+def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
+    """K nearest neighbors of queries [Q,3] among the hashed points [C,3].
+
+    Returns (sq_dists [Q,k], indices [Q,k] into the original point array).
+    Missing neighbors (sparse regions) have sq_dist = +inf.
+    """
+    C = points.shape[0]
+    qcells = _cell_coords(queries, grid.cell_size)            # [Q,3]
+    # 27 neighbor cells
+    d = jnp.arange(-1, 2, dtype=jnp.int32)
+    off = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"),
+                    axis=-1).reshape(-1, 3)                   # [27,3]
+    ncells = qcells[:, None, :] + off[None, :, :]             # [Q,27,3]
+    nh = _hash_cells(ncells, grid.table_size)                 # [Q,27]
+
+    s = grid.starts[nh]                                       # [Q,27]
+    e = grid.ends[nh]
+    slots = s[..., None] + jnp.arange(cap, dtype=jnp.int32)   # [Q,27,cap]
+    in_bucket = slots < e[..., None]
+    slots = jnp.clip(slots, 0, C - 1)
+
+    cand_cell = grid.cell_of[slots]                           # [Q,27,cap,3]
+    # exact-cell check kills hash collisions AND duplicate candidates
+    same_cell = jnp.all(cand_cell == ncells[:, :, None, :], axis=-1)
+    valid = in_bucket & same_cell                             # [Q,27,cap]
+
+    cand_idx = grid.order[slots].reshape(queries.shape[0], -1)  # [Q,27*cap]
+    valid = valid.reshape(queries.shape[0], -1)
+    cand_pts = points[cand_idx]                               # [Q,27cap,3]
+    diff = cand_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+
+    neg_top, arg = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand_idx, arg, axis=1)
+    return -neg_top, idx

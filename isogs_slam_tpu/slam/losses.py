@@ -45,6 +45,9 @@ class LossConfig(NamedTuple):
     iso_target: float = 1.0
     calc_iso: bool = True    # mapping only
     knn_block: int = 8192
+    knn_method: str = "hash"   # "hash" (spatial_hash.cu design) | "exact"
+    hash_cap: int = 32
+    hash_table_size: int = 1 << 16
 
 
 class LossOutputs(NamedTuple):
@@ -63,8 +66,14 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                  gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
                  cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
                  key: jax.Array | None = None,
-                 means2d_offset: jnp.ndarray | None = None) -> LossOutputs:
-    """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters."""
+                 means2d_offset: jnp.ndarray | None = None,
+                 binning=None) -> LossOutputs:
+    """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters.
+
+    `binning` (optional) reuses precomputed per-tile Gaussian lists — the
+    tracking loop bins once per frame with a pixel margin instead of once
+    per iteration.
+    """
     tracking = lcfg.tracking
 
     means_cam, quats_cam = transform_to_frame(
@@ -73,7 +82,7 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
 
     im, depth, silhouette, depth_sq, aux = render_rgbd_sil(
         means_cam, quats_cam, params.log_scales, params.logit_opacities,
-        params.rgb_colors, alive, cam, rcfg, means2d_offset)
+        params.rgb_colors, alive, cam, rcfg, means2d_offset, binning)
 
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     presence_sil_mask = silhouette > lcfg.sil_thres
@@ -119,7 +128,9 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                 params.means3d, params.unnorm_rotations, params.log_scales,
                 params.logit_opacities, alive, key,
                 sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
-                target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block)
+                target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block,
+                knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
+                hash_table_size=lcfg.hash_table_size)
         else:
             loss_iso = jnp.zeros(())
             mean_density = jnp.zeros(())

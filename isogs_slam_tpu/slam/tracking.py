@@ -40,6 +40,10 @@ class TrackingConfig(NamedTuple):
     use_depth_loss_thres: bool = False
     depth_loss_thres: float = 100000.0
     eps: float = 1e-8
+    # tile lists are binned ONCE per frame at the initial pose, widened by
+    # this pixel margin, and reused by every tracking iteration (pose
+    # micro-updates stay inside the margin)
+    bin_margin_px: float = 8.0
 
 
 class TrackResult(NamedTuple):
@@ -59,10 +63,21 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
     max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
     params = jax.tree.map(jax.lax.stop_gradient, params)
 
+    # bin once at the initial pose with a safety margin; every iteration
+    # reuses the frozen tile lists (compute_loss re-projects exactly)
+    from ..ops.rasterize import bin_gaussians, project_gaussians
+    from ..utils.transforms import transform_to_frame
+    mc0, qc0 = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                  init_quat, init_trans,
+                                  gaussians_grad=False, camera_grad=False)
+    proj0 = project_gaussians(mc0, qc0, params.log_scales, alive, cam,
+                              margin_px=tcfg.bin_margin_px)
+    binning = bin_gaussians(proj0, cam, rcfg)
+
     def loss_fn(pose):
         quat, trans = pose
         out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                           cam, rcfg, lcfg)
+                           cam, rcfg, lcfg, binning=binning)
         return out.loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
