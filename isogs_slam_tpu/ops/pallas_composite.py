@@ -125,7 +125,7 @@ def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
 
 
 def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
-                carries_ref, *, n_chunks, F):
+                carries_ref, suffix_ref, *, n_chunks, F):
     i = pl.program_id(0)
     px, py = _pixel_coords(None)
     tri_l = _tri_strict_lower()
@@ -157,60 +157,60 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
         gout = gout_ref[t, :, :]                            # [P, F]
         gt = gt_ref[t, :, :]                                # [1, P]
 
-        # pass 2: reverse chunk walk with a gw*w suffix accumulator
-        suffix = jnp.zeros((1, P), jnp.float32)
+        # pass 2: reverse chunk walk with a gw*w suffix accumulator.
+        # Chunks beyond the tile's count are skipped entirely (the output
+        # was pre-zeroed) — the common case, since most tiles hold far
+        # fewer than K candidates.
+        suffix_ref[:] = jnp.zeros_like(suffix_ref)
         for c in range(n_chunks - 1, -1, -1):
             base = c * CHUNK
-            live = base < count
 
-            gd = gdata_ref[t, pl.ds(base, CHUNK), :]
-            a, contrib, alpha, power, dx, dy = _chunk_alpha(
-                gd, px, py, count, base)
-            l = jnp.log1p(-a)
-            s_excl = (jnp.dot(tri_l, l, preferred_element_type=jnp.float32)
-                      + carries_ref[c:c + 1, :])
-            t_excl = jnp.exp(s_excl)
-            include = contrib & (t_excl * (1.0 - a) >= T_EPS)
-            w = jnp.where(include, a * t_excl, 0.0)
-            feat = gd[:, 6:]
+            @pl.when(base < count)
+            def _():
+                gd = gdata_ref[t, pl.ds(base, CHUNK), :]
+                a, contrib, alpha, power, dx, dy = _chunk_alpha(
+                    gd, px, py, count, base)
+                l = jnp.log1p(-a)
+                s_excl = (jnp.dot(tri_l, l,
+                                  preferred_element_type=jnp.float32)
+                          + carries_ref[c:c + 1, :])
+                t_excl = jnp.exp(s_excl)
+                include = contrib & (t_excl * (1.0 - a) >= T_EPS)
+                w = jnp.where(include, a * t_excl, 0.0)
+                feat = gd[:, 6:]
 
-            # g_w[k,p] = sum_f feat[k,f] gout[p,f] + g_tsum[p] (tsum = sum w)
-            gw = jax.lax.dot_general(
-                feat, gout, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + gt    # [CHUNK, P]
-            gww = gw * w
-            suf_in = jnp.dot(tri_u, gww,
-                             preferred_element_type=jnp.float32)
-            suf = suf_in + suffix                           # [CHUNK, P]
+                # g_w[k,p] = sum_f feat[k,f] gout[p,f] + g_tsum[p]
+                gw = jax.lax.dot_general(
+                    feat, gout, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + gt  # [CHUNK, P]
+                gww = gw * w
+                suf = (jnp.dot(tri_u, gww,
+                               preferred_element_type=jnp.float32)
+                       + suffix_ref[0:1, :])                 # [CHUNK, P]
 
-            da = (jnp.where(include, gw * t_excl, 0.0)
-                  - jnp.where(contrib, suf / (1.0 - a), 0.0))
-            # alpha = min(0.99, op*exp(power)); clamp kills the gradient
-            live_alpha = contrib & (alpha < ALPHA_MAX)
-            dalpha = jnp.where(live_alpha, da, 0.0)
-            dop_pix = dalpha * jnp.exp(power)               # [CHUNK, P]
-            dpower = dalpha * alpha                         # d(op*e^p)/dpower
-            A = gd[:, 2:3]
-            B = gd[:, 3:4]
-            Cc = gd[:, 4:5]
-            ddx = (-A * dx - B * dy) * dpower
-            ddy = (-Cc * dy - B * dx) * dpower
-            dA = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
-            dB = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
-            dC = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
-            du = jnp.sum(ddx, axis=1, keepdims=True)
-            dv = jnp.sum(ddy, axis=1, keepdims=True)
-            dop = jnp.sum(dop_pix, axis=1, keepdims=True)
-            dfeat = jnp.dot(w, gout,
-                            preferred_element_type=jnp.float32)  # [CHUNK, F]
-            dgd = jnp.concatenate([du, dv, dA, dB, dC, dop, dfeat], axis=1)
-            zero = jnp.zeros_like(dgd)
-            dgdata_ref[t, pl.ds(base, CHUNK), :] = jnp.where(live, dgd,
-                                                             zero)
-
-            suffix = jnp.where(live, suffix + jnp.sum(gww, axis=0,
-                                                      keepdims=True),
-                               suffix)
+                da = (jnp.where(include, gw * t_excl, 0.0)
+                      - jnp.where(contrib, suf / (1.0 - a), 0.0))
+                # alpha = min(0.99, op*exp(power)); the clamp kills the grad
+                live_alpha = contrib & (alpha < ALPHA_MAX)
+                dalpha = jnp.where(live_alpha, da, 0.0)
+                dop_pix = dalpha * jnp.exp(power)            # [CHUNK, P]
+                dpower = dalpha * alpha                      # d(op*e^p)/dp
+                A = gd[:, 2:3]
+                B = gd[:, 3:4]
+                Cc = gd[:, 4:5]
+                ddx = (-A * dx - B * dy) * dpower
+                ddy = (-Cc * dy - B * dx) * dpower
+                dA = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
+                dB = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
+                dC = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
+                du = jnp.sum(ddx, axis=1, keepdims=True)
+                dv = jnp.sum(ddy, axis=1, keepdims=True)
+                dop = jnp.sum(dop_pix, axis=1, keepdims=True)
+                dfeat = jnp.dot(w, gout,
+                                preferred_element_type=jnp.float32)
+                dgdata_ref[t, pl.ds(base, CHUNK), :] = jnp.concatenate(
+                    [du, dv, dA, dB, dC, dop, dfeat], axis=1)
+                suffix_ref[0:1, :] += jnp.sum(gww, axis=0, keepdims=True)
 
 
 def _pad_tiles(gdata, counts):
@@ -274,7 +274,8 @@ def _bwd_call(gdata, counts, gout, gtsum, F: int, interpret: bool):
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((n_chunks, P), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((n_chunks, P), jnp.float32),
+                            pltpu.VMEM((1, P), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), jnp.float32),
         interpret=interpret,

@@ -119,8 +119,8 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     # 3D covariance Sigma = R diag(s^2) R^T, computed component-wise:
     # [N,3,3] tensors have a catastrophic TPU layout (3-lane rows padded to
     # 128), so keep everything as [N] vectors.
-    qn = quats / jnp.maximum(
-        jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)), 1e-12)
+    qn = quats / jnp.sqrt(jnp.maximum(
+        jnp.sum(quats * quats, axis=-1, keepdims=True), 1e-24))
     r, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - r * z)

@@ -49,6 +49,10 @@ class MappingConfig(NamedTuple):
     lr_log_scales: float
     prune: PruneConfig
     eps: float = 1e-15
+    # tile lists are binned ONCE per keyframe slot per mapping phase
+    # (keyframe poses are fixed within a phase; Gaussians drift by far less
+    # than this pixel margin across the phase's Adam steps)
+    bin_margin_px: float = 4.0
 
     def lrs(self) -> GaussianParams:
         f = jnp.float32
@@ -90,9 +94,27 @@ def map_frame(state: MapState,
     lrs = mcfg.lrs()
     pc = mcfg.prune
 
-    def loss_fn(params, alive, quat, trans, gt_im, gt_depth, key):
+    # bin each keyframe slot once (frozen per-phase tile lists with margin;
+    # the analog of the tracking-side once-per-frame binning)
+    from ..ops.rasterize import bin_gaussians, project_gaussians
+    from ..utils.transforms import transform_to_frame
+    p0 = jax.tree.map(jax.lax.stop_gradient, state.params)
+    alive0 = state.alive
+
+    def bin_slot(pose):
+        quat, trans = pose
+        mc, qc = transform_to_frame(p0.means3d, p0.unnorm_rotations,
+                                    quat, trans, gaussians_grad=False,
+                                    camera_grad=False)
+        proj = project_gaussians(mc, qc, p0.log_scales, alive0, cam,
+                                 margin_px=mcfg.bin_margin_px)
+        return bin_gaussians(proj, cam, rcfg)
+
+    bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
+
+    def loss_fn(params, alive, quat, trans, gt_im, gt_depth, key, binning):
         out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                           cam, rcfg, lcfg, key=key)
+                           cam, rcfg, lcfg, key=key, binning=binning)
         return out.loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -105,9 +127,10 @@ def map_frame(state: MapState,
         gt_depth = kf_depths[slot][None]
         quat = jax.lax.stop_gradient(kf_quats[slot])
         trans = jax.lax.stop_gradient(kf_transl[slot])
+        binning = jax.tree.map(lambda a: a[slot], bins)
 
         (loss, out), grads = grad_fn(st.params, st.alive, quat, trans,
-                                     gt_im, gt_depth, key)
+                                     gt_im, gt_depth, key, binning)
 
         # seen/max_2D_radius bookkeeping (splatam.py:751-753)
         seen = out.radii > 0

@@ -15,9 +15,13 @@ import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """L2-normalize along `axis` (torch.nn.functional.normalize semantics)."""
-    n = jnp.linalg.norm(q, axis=axis, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    """L2-normalize along `axis` (torch.nn.functional.normalize semantics).
+
+    The clamp goes INSIDE the sqrt: sqrt(x) has a NaN gradient at x = 0, and
+    all-zero rows (dead Gaussian slots) otherwise poison any gradient that
+    touches them even when masked downstream (0 * NaN = NaN)."""
+    n2 = jnp.sum(q * q, axis=axis, keepdims=True)
+    return q / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

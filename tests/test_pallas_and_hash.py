@@ -1,0 +1,110 @@
+"""Pallas compositing kernel parity, spatial-hash KNN recall, and the
+dead-row NaN regression (mirrors cpp/tests/grad_check.cpp's role as the
+kernel-correctness harness, SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isogs_slam_tpu.core.camera import Camera
+from isogs_slam_tpu.core.gaussians import (append_rows, empty_state,
+                                           new_gaussian_rows)
+from isogs_slam_tpu.ops.rasterize import RasterConfig, render_rgbd_sil
+
+
+def _scene(n=1500, seed=0, dead=100):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    means[:, 2] += 2.5
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    logs = np.log(rng.uniform(0.02, 0.1, (n, 3))).astype(np.float32)
+    ops = rng.uniform(-2, 3, (n, 1)).astype(np.float32)
+    alive = np.ones(n, bool)
+    if dead:
+        alive[-dead:] = False
+    return ([jnp.asarray(x) for x in (means, quats, logs, ops, rgb)],
+            jnp.asarray(alive))
+
+
+def test_pallas_composite_matches_xla():
+    """Images and ALL parameter gradients agree between the Pallas kernel
+    (interpret mode) and the fused-XLA compositing path."""
+    args, alive = _scene()
+    cam = Camera(width=96, height=80, fx=80.0, fy=80.0, cx=47.5, cy=39.5)
+
+    def run(backend):
+        cfg = RasterConfig(max_per_tile=256, tile_chunk=16, backend=backend)
+
+        def loss(*a):
+            im, depth, sil, dsq, aux = render_rgbd_sil(*a, alive, cam, cfg)
+            return (jnp.sum(im ** 2) + jnp.sum(depth) + 0.5 * jnp.sum(sil),
+                    (im, depth, sil))
+
+        (l, outs), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+        return outs, g
+
+    (im1, d1, s1), g1 = run("xla")
+    (im2, d2, s2), g2 = run("pallas-interpret")
+    assert float(jnp.max(jnp.abs(im1 - im2))) < 1e-5
+    assert float(jnp.max(jnp.abs(d1 - d2))) < 1e-4
+    assert float(jnp.max(jnp.abs(s1 - s2))) < 1e-5
+    for a, b in zip(g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+
+
+def test_hash_knn_recall():
+    from isogs_slam_tpu.ops.iso_loss import knn_blocked
+    from isogs_slam_tpu.ops.spatial_hash import build_hash_grid, knn_hash
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    uv = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    z = 0.3 * np.sin(uv[:, 0] * 3) * np.cos(uv[:, 1] * 2)
+    pts = np.stack([uv[:, 0], uv[:, 1], z], -1).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[rng.choice(n, 2000, replace=False)] = False
+    q_ids = rng.choice(np.where(alive)[0], 512, replace=False)
+
+    pj, aj = jnp.asarray(pts), jnp.asarray(alive)
+    qj = pj[jnp.asarray(q_ids)]
+    _, idx_ref = knn_blocked(qj, pj, aj, 16, 8192)
+    spacing = 4.0 / np.sqrt(n)
+    grid = build_hash_grid(pj, aj, jnp.float32(3.0 * spacing))
+    d2h, idx_h = knn_hash(grid, pj, qj, 16, cap=32)
+    rec = np.mean([
+        len(set(np.asarray(idx_h[i]).tolist())
+            & set(np.asarray(idx_ref[i]).tolist())) / 16
+        for i in range(len(q_ids))])
+    assert rec > 0.97
+    # hash never returns a dead point as a finite-distance neighbor
+    finite = np.isfinite(np.asarray(d2h))
+    assert np.all(np.asarray(alive)[np.asarray(idx_h)][finite])
+
+
+def test_iso_hash_gradients_finite_with_dead_rows():
+    """Regression: dead slots hold all-zero quats; normalize() must not
+    poison gradients that gather them as masked-out KNN candidates."""
+    from isogs_slam_tpu.ops.iso_loss import iso_surface_loss
+
+    C, n0 = 2048, 1500
+    rng = np.random.default_rng(0)
+    st = empty_state(C)
+    pts = jnp.asarray(rng.uniform(-1, 1, (n0, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(0, 1, (n0, 3)).astype(np.float32))
+    rows = new_gaussian_rows(pts, cols, jnp.full((n0,), 4e-4))
+    st = append_rows(st, rows, jnp.ones(n0, bool), 0)
+    p = st.params
+
+    def f(means, quats, ls, ops):
+        return iso_surface_loss(means, quats, ls, ops, st.alive,
+                                jax.random.PRNGKey(0), 256, 16,
+                                knn_method="hash")[0]
+
+    v, g = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+        p.means3d, p.unnorm_rotations, p.log_scales, p.logit_opacities)
+    assert np.isfinite(float(v))
+    for gg in g:
+        assert int(jnp.sum(~jnp.isfinite(gg))) == 0
