@@ -55,6 +55,13 @@ def make_grid(means: np.ndarray, voxel_size: float, padding: float = 0.5,
               block: int = 16) -> GridSpec:
     """Padded bbox -> linspace grid (create_voxel_grid semantics: linspace
     endpoints inclusive, so actual spacing = size/(dims-1))."""
+    finite = np.isfinite(means).all(axis=1)
+    if not finite.all():
+        print(f"[mesh] dropping {int((~finite).sum())} non-finite Gaussians"
+              " from the bounding box")
+    means = means[finite]
+    if means.shape[0] == 0:
+        raise ValueError("no finite Gaussian centers; cannot build a grid")
     mn = means.min(axis=0) - padding
     mx = means.max(axis=0) + padding
     size = mx - mn
