@@ -1,0 +1,27 @@
+"""Replica SLAM config (reference configs/replica/splatam.py: 680x1200,
+tracking 10 iters lr 4e-4/2e-3, mapping 40 iters, map/keyframe every 5,
+window 24). Scene via SPLATAM_SCENE_INDEX env var (0-7)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _splatam_base import make_config
+
+scenes = ["room0", "room1", "room2",
+          "office0", "office1", "office2", "office3", "office4"]
+_idx = os.environ.get("SPLATAM_SCENE_INDEX", "0")
+try:
+    scene_name = scenes[int(_idx)] if 0 <= int(_idx) < len(scenes) \
+        else scenes[0]
+except ValueError:
+    scene_name = scenes[0]
+seed = 0
+
+config = make_config(
+    group_name="Replica", run_name=f"{scene_name}_{seed}", seed=seed,
+    basedir="./data/Replica",
+    gradslam_data_cfg="./configs/data/replica.yaml",
+    sequence=scene_name, desired_height=680, desired_width=1200,
+    map_every=5, keyframe_every=5, mapping_window_size=24,
+    tracking_iters=10, mapping_iters=40,
+    tracking_lr_rot=0.0004, tracking_lr_trans=0.002)

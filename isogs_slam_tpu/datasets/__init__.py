@@ -29,7 +29,7 @@ def get_dataset(config_dict: dict, basedir: str, sequence: str, **kwargs):
         from .scannet import ScannetDataset
         return ScannetDataset(config_dict, basedir, sequence, **kwargs)
     if name in ("scannetpp",):
-        from .scannetpp import ScannetPPDataset
+        from .nerfcapture import ScannetPPDataset
         return ScannetPPDataset(basedir, sequence, **kwargs)
     if name in ("nerfcapture",):
         from .nerfcapture import NeRFCaptureDataset
@@ -41,9 +41,9 @@ def get_dataset(config_dict: dict, basedir: str, sequence: str, **kwargs):
         from .record3d import Record3DDataset
         return Record3DDataset(config_dict, basedir, sequence, **kwargs)
     if name in ("realsense",):
-        from .realsense import RealsenseDataset
+        from .record3d import RealsenseDataset
         return RealsenseDataset(config_dict, basedir, sequence, **kwargs)
     if name in ("ai2thor",):
-        from .ai2thor import Ai2thorDataset
+        from .scannet import Ai2thorDataset
         return Ai2thorDataset(config_dict, basedir, sequence, **kwargs)
     raise ValueError(f"Unknown dataset name {config_dict['dataset_name']}")

@@ -126,6 +126,11 @@ class RGBDDataset:
                            dtype=np.float32)
         if color.ndim == 3 and color.shape[2] == 4:
             color = color[:, :, :3]
+        if self.distortion is not None:
+            # undistortion applies to color only, not depth
+            # (basedataset.py:308-310)
+            import cv2
+            color = cv2.undistort(color, self.get_cam_K(), self.distortion)
         color = self._resize_color(color)
         depth = self._read_depth(self.depth_paths[index])
         depth = self._resize_depth(depth)[:, :, None] / self.png_depth_scale

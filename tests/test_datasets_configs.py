@@ -1,0 +1,154 @@
+"""Config modules load with the reference schema; dataset loaders parse
+fabricated on-disk mini-sequences (file layouts from
+datasets/gradslam_datasets/*)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from isogs_slam_tpu.datasets import get_dataset, load_dataset_config
+from isogs_slam_tpu.slam.config import inject_defaults, load_experiment_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = ["replica/splatam.py", "replica/splatam_s.py", "tum/splatam.py",
+           "scannet/splatam.py", "scannetpp/splatam.py",
+           "replica_v2/splatam.py", "iphone/splatam.py"]
+
+
+@pytest.mark.parametrize("rel", CONFIGS)
+def test_config_loads_and_has_reference_schema(rel):
+    cfg = load_experiment_config(os.path.join(REPO, "configs", rel))
+    cfg = inject_defaults(cfg)
+    for key in ("workdir", "run_name", "map_every", "keyframe_every",
+                "mapping_window_size", "scene_radius_depth_ratio",
+                "data", "tracking", "mapping", "viz"):
+        assert key in cfg, key
+    for key in ("num_iters", "use_sil_for_loss", "sil_thres", "lrs",
+                "loss_weights"):
+        assert key in cfg["tracking"], key
+    assert "pruning_dict" in cfg["mapping"]
+    assert "densify_dict" in cfg["mapping"]
+
+
+def test_dataconfig_yamls_load():
+    ddir = os.path.join(REPO, "configs", "data")
+    for f in os.listdir(ddir):
+        cfg = load_dataset_config(os.path.join(ddir, f))
+        cp = cfg["camera_params"]
+        assert cp["fx"] != 0 and cp["png_depth_scale"] > 0
+
+
+def _write_png16(path, arr):
+    import imageio.v2 as imageio
+    imageio.imwrite(path, arr.astype(np.uint16))
+
+
+def _write_jpg(path, arr):
+    import imageio.v2 as imageio
+    imageio.imwrite(path, arr.astype(np.uint8))
+
+
+def _cam_cfg(h=48, w=64):
+    return {"dataset_name": "x", "camera_params": {
+        "image_height": h, "image_width": w, "fx": 50.0, "fy": 50.0,
+        "cx": w / 2 - 0.5, "cy": h / 2 - 0.5, "png_depth_scale": 1000.0,
+        "distortion": None}}
+
+
+def test_replica_loader(tmp_path):
+    seq = tmp_path / "room0" / "results"
+    seq.mkdir(parents=True)
+    poses = []
+    for i in range(4):
+        _write_jpg(seq / f"frame{i:06d}.jpg",
+                   np.full((48, 64, 3), 10 * i + 5))
+        _write_png16(seq / f"depth{i:06d}.png",
+                     np.full((48, 64), 2000 + i))
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.1 * i
+        poses.append(c2w)
+    with open(tmp_path / "room0" / "traj.txt", "w") as f:
+        for p in poses:
+            f.write(" ".join(str(x) for x in p.reshape(-1)) + "\n")
+    ds = get_dataset(_cam_cfg() | {"dataset_name": "replica"},
+                     str(tmp_path), "room0", desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 4
+    color, depth, intr, pose = ds[2]
+    assert color.shape == (48, 64, 3) and depth.shape == (48, 64, 1)
+    assert abs(float(depth[0, 0, 0]) - 2.002) < 1e-3
+    # poses normalized relative to frame 0
+    assert abs(pose[0, 3] - 0.2) < 1e-5
+    p0 = ds[0][3]
+    assert np.allclose(p0, np.eye(4), atol=1e-6)
+
+
+def test_tum_loader_association(tmp_path):
+    seq = tmp_path / "rgbd_dataset_tiny"
+    (seq / "rgb").mkdir(parents=True)
+    (seq / "depth").mkdir()
+    rgb_lines, depth_lines, gt_lines = [], [], ["# header"]
+    for i in range(3):
+        t = 100.0 + i
+        _write_jpg(seq / "rgb" / f"{t:.1f}.png", np.full((48, 64, 3), 50))
+        _write_png16(seq / "depth" / f"{t:.1f}.png",
+                     np.full((48, 64), 5000))
+        rgb_lines.append(f"{t:.4f} rgb/{t:.1f}.png")
+        depth_lines.append(f"{t + 0.01:.4f} depth/{t:.1f}.png")
+        gt_lines.append(f"{t + 0.02:.4f} {0.1 * i} 0 0 0 0 0 1")
+    (seq / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (seq / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (seq / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+    cfg = _cam_cfg()
+    cfg["camera_params"]["png_depth_scale"] = 5000.0
+    ds = get_dataset(cfg | {"dataset_name": "tum"}, str(tmp_path),
+                     "rgbd_dataset_tiny", desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 3
+    color, depth, intr, pose = ds[1]
+    assert abs(float(depth[0, 0, 0]) - 1.0) < 1e-5
+    assert abs(pose[0, 3] - 0.1) < 1e-5  # relative to frame 0
+
+
+def test_scannet_loader(tmp_path):
+    seq = tmp_path / "scene0000_00"
+    for sub in ("color", "depth", "pose"):
+        (seq / sub).mkdir(parents=True)
+    for i in range(3):
+        _write_jpg(seq / "color" / f"{i}.jpg", np.full((48, 64, 3), 90))
+        _write_png16(seq / "depth" / f"{i}.png", np.full((48, 64), 1500))
+        c2w = np.eye(4)
+        c2w[1, 3] = 0.05 * i
+        np.savetxt(seq / "pose" / f"{i}.txt", c2w)
+    ds = get_dataset(_cam_cfg() | {"dataset_name": "scannet"},
+                     str(tmp_path), "scene0000_00", desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 3
+    _, depth, _, pose = ds[2]
+    assert abs(float(depth[0, 0, 0]) - 1.5) < 1e-5
+    assert abs(pose[1, 3] - 0.1) < 1e-5
+
+
+def test_nerfcapture_loader(tmp_path):
+    seq = tmp_path / "cap"
+    (seq / "rgb").mkdir(parents=True)
+    (seq / "depth").mkdir()
+    frames = []
+    for i in range(3):
+        _write_jpg(seq / "rgb" / f"{i}.png", np.full((48, 64, 3), 70))
+        _write_png16(seq / "depth" / f"{i}.png", np.full((48, 64), 13107))
+        c2w = np.eye(4)
+        c2w[2, 3] = 0.02 * i
+        frames.append({"file_path": f"rgb/{i}.png",
+                       "transform_matrix": c2w.tolist()})
+    meta = {"h": 48, "w": 64, "fl_x": 50.0, "fl_y": 50.0, "cx": 31.5,
+            "cy": 23.5, "frames": frames}
+    (seq / "transforms.json").write_text(json.dumps(meta))
+    ds = get_dataset({"dataset_name": "nerfcapture"}, str(tmp_path), "cap",
+                     desired_height=48, desired_width=64)
+    assert len(ds) == 3
+    color, depth, intr, pose = ds[1]
+    assert abs(float(depth[0, 0, 0]) - 2.0) < 1e-3
+    assert intr[0, 0] == 50.0
