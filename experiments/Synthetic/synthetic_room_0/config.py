@@ -35,7 +35,9 @@ config = dict(
     use_wandb=False,
     compact_every=50,
     capacity_granule=8192,
-    raster=dict(max_per_tile=192, isect_per_gaussian=6.0, tile_chunk=80),
+    # max_per_tile must exceed the per-tile Gaussian density: per-pixel
+    # init puts ~256/tile + margin (overflow silently truncates content)
+    raster=dict(max_per_tile=512, isect_per_gaussian=6.0, tile_chunk=80),
     isogs=dict(sample_size=1024, k=16, target_saturation=1.0,
                knn_block=4096),
     data=dict(
@@ -54,7 +56,10 @@ config = dict(
         forward_prop=True,
         num_iters=tracking_iters,
         use_sil_for_loss=True,
-        sil_thres=0.99,
+        # the synthetic wall is a single Gaussian sheet: after the IsoGS
+        # density target pulls opacities down, silhouette tops out ~0.98,
+        # so the reference's 0.99 threshold would empty the tracking mask
+        sil_thres=0.90,
         use_l1=True,
         ignore_outlier_depth_loss=False,
         loss_weights=dict(im=0.5, depth=1.0),

@@ -41,6 +41,9 @@ def make_room_gaussians(rng: np.random.Generator, n_per_wall: int = 900,
                     + np.floor(p[:, 2] * 2)) % 2)
         c = np.outer(checker, np.array(base)) \
             + np.outer(1 - checker, np.array(base) * 0.45)
+        # high-frequency per-Gaussian texture: tracking needs gradient
+        # signal at sub-checker scale (real scenes are not flat-shaded)
+        c = np.clip(c + rng.uniform(-0.18, 0.18, c.shape), 0.02, 0.98)
         pts.append(p)
         cols.append(c)
     pts = np.concatenate(pts).astype(np.float32)
@@ -54,11 +57,15 @@ def make_room_gaussians(rng: np.random.Generator, n_per_wall: int = 900,
     return pts, cols, quats, log_scales, logit_op
 
 
-def make_trajectory(num_frames: int, radius: float = 0.4):
-    """Small smooth orbit: c2w poses looking down +z."""
+def make_trajectory(num_frames: int, radius: float = 0.4,
+                    step: float = 0.012):
+    """Smooth orbit segment with REALISTIC inter-frame motion (~step
+    meters/frame, like a 30fps handheld camera — Replica moves 1-2 cm per
+    frame). The orbit phase advances by `step / radius` radians per frame
+    regardless of sequence length, so tracking sees small pose deltas."""
     poses = []
     for i in range(num_frames):
-        t = i / max(num_frames - 1, 1)
+        t = i * step / (2 * np.pi * radius)   # orbit phase in [0, 1)
         ang = 0.35 * np.sin(2 * np.pi * t)
         cx = radius * np.sin(2 * np.pi * t)
         cy = 0.15 * np.sin(4 * np.pi * t)
@@ -100,7 +107,7 @@ class SyntheticDataset:
     @functools.cached_property
     def _render(self):
         n = self.pts.shape[0]
-        cfg = RasterConfig(max_per_tile=min(n, 256), tile_chunk=64)
+        cfg = RasterConfig(max_per_tile=min(n, 512), tile_chunk=64)
         alive = jnp.ones(n, bool)
         margs = (jnp.asarray(self.pts), jnp.asarray(self.quats),
                  jnp.asarray(self.log_scales), jnp.asarray(self.logit_op),

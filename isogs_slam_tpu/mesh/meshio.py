@@ -112,6 +112,28 @@ def write_stl(path: str, verts: np.ndarray, faces: np.ndarray):
         f.write(rec.tobytes())
 
 
+def write_ply_points(path: str, props: dict, binary: bool = True):
+    """Point-cloud PLY with arbitrary float32 per-vertex properties, in dict
+    insertion order (the 3DGS splat format writer of scripts/export_ply.py)."""
+    names = list(props.keys())
+    cols = [np.asarray(props[n], np.float32).reshape(-1) for n in names]
+    n = cols[0].shape[0]
+    header = ["ply",
+              "format binary_little_endian 1.0" if binary
+              else "format ascii 1.0",
+              f"element vertex {n}",
+              *[f"property float {nm}" for nm in names],
+              "end_header"]
+    data = np.stack(cols, axis=1).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        if binary:
+            f.write(data.tobytes())
+        else:
+            for row in data:
+                f.write((" ".join(f"{x:.8f}" for x in row) + "\n").encode())
+
+
 def read_ply(path: str) -> dict:
     """Minimal PLY reader (ascii + binary_little_endian). Returns
     {"vertices": [N,3] f32, "faces": [M,3] i32 or None, "properties":

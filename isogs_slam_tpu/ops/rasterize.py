@@ -110,8 +110,16 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     tx, ty, tz = means_cam[:, 0], means_cam[:, 1], means_cam[:, 2]
     tz_safe = tz + 1e-7
 
-    u = cam.fx * tx / tz_safe + cam.cx - 0.5
-    v = cam.fy * ty / tz_safe + cam.cy - 0.5
+    # OpenCV pinhole: pixel (i, j) is the ray ((i-cx)/fx, (j-cy)/fy, 1), so
+    # a point projects to u = fx*x/z + cx and is composited at integer pixel
+    # coords. The CUDA chain (ndc2Pix) lands at cx - 0.5 instead — a global
+    # half-pixel shift AGAINST the backprojection used by initialization
+    # (get_pointcloud, splatam.py:298-348), i.e. the reference renders its
+    # map half a pixel off its own observations. We keep the conventions
+    # consistent; at Replica focal lengths the difference is sub-mm, at low
+    # test resolutions it dominated the tracking error.
+    u = cam.fx * tx / tz_safe + cam.cx
+    v = cam.fy * ty / tz_safe + cam.cy
     if means2d_offset is not None:
         u = u + means2d_offset[:, 0]
         v = v + means2d_offset[:, 1]

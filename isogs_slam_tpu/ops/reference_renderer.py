@@ -80,8 +80,11 @@ def render_reference(means_cam, quats, log_scales, logit_opacities, features,
         mid = 0.5 * (cov[0, 0] + cov[1, 1])
         lam1 = mid + np.sqrt(max(mid * mid - det, 0.1))
         r = int(np.ceil(3.0 * np.sqrt(max(lam1, 0.0))))
-        u[i] = fx * x / (z + 1e-7) + cx - 0.5
-        v[i] = fy * y / (z + 1e-7) + cy - 0.5
+        # consistent OpenCV pixel-center convention (see rasterize.py note;
+        # the CUDA ndc2Pix lands at cx - 0.5, half a pixel off the pinhole
+        # model the rest of the pipeline uses)
+        u[i] = fx * x / (z + 1e-7) + cx
+        v[i] = fy * y / (z + 1e-7) + cy
         x0 = min(gx, max(0, int((u[i] - r) / TILE)))
         y0 = min(gy, max(0, int((v[i] - r) / TILE)))
         x1 = min(gx, max(0, int((u[i] + r + TILE - 1) / TILE)))

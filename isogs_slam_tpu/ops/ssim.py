@@ -63,9 +63,18 @@ _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     """Multi-scale SSIM over [C, H, W] in [0, 1] (pytorch_msssim semantics:
     valid-padding gaussian filter, 2x avg-pool between scales, contrast
-    sensitivity at coarse scales, relu-clamped)."""
+    sensitivity at coarse scales, relu-clamped).
+
+    pytorch_msssim asserts the image is larger than (win-1) * 2^4; for
+    smaller images the scale count is reduced (weights renormalized) so
+    small-resolution eval runs don't produce NaN."""
     w = jnp.asarray(_gaussian_window(window_size), img1.dtype)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
+    smaller = min(img1.shape[-2], img1.shape[-1])
+    n_scales_fit = 1
+    while (n_scales_fit < len(_MSSSIM_WEIGHTS)
+           and smaller // (2 ** n_scales_fit) >= window_size):
+        n_scales_fit += 1
 
     def one_scale(a, b):
         filt = lambda x: _depthwise_filter(x, w, [(0, 0), (0, 0)])
@@ -85,14 +94,15 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
 
     vals = []
     a, b = img1, img2
-    n_scales = len(_MSSSIM_WEIGHTS)
+    n_scales = n_scales_fit
     for i in range(n_scales):
         ssim_v, cs = one_scale(a, b)
         vals.append(ssim_v if i == n_scales - 1 else cs)
         if i < n_scales - 1:
             a, b = pool2(a), pool2(b)
     vals = jnp.stack([jax.nn.relu(v) for v in vals])
-    weights = jnp.asarray(_MSSSIM_WEIGHTS, img1.dtype)
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales], img1.dtype)
+    weights = weights / jnp.sum(weights)
     return jnp.prod(vals ** weights)
 
 

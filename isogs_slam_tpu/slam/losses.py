@@ -59,6 +59,10 @@ class LossOutputs(NamedTuple):
     mean_density: jnp.ndarray
     radii: jnp.ndarray        # for seen/max_2D_radius bookkeeping
     n_overflow: jnp.ndarray
+    mask_frac: jnp.ndarray    # fraction of pixels in the loss mask — the
+    # IsoGS density target pulls opacities down, and a silhouette>0.99
+    # tracking mask can silently empty (loss == 0, pose frozen); this
+    # makes that observable
 
 
 def compute_loss(params: GaussianParams, alive: jnp.ndarray,
@@ -149,4 +153,5 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
 
     return LossOutputs(loss=total, im=wim, depth=wdepth, flat=wflat,
                        iso=wiso, mean_density=mean_density,
-                       radii=aux["radii"], n_overflow=aux["n_overflow"])
+                       radii=aux["radii"], n_overflow=aux["n_overflow"],
+                       mask_frac=jnp.mean(mask.astype(jnp.float32)))

@@ -25,7 +25,7 @@ from ..ops.rasterize import RasterConfig
 from ..utils.transforms import normalize
 from .losses import LossConfig, compute_loss
 
-N_LOG = 6
+N_LOG = 7  # loss, im, depth, flat, iso, mean_density, mask_frac
 
 
 class PruneConfig(NamedTuple):
@@ -164,7 +164,7 @@ def map_frame(state: MapState,
                                      eps=mcfg.eps)
         st = st._replace(params=new_params)
         log = jnp.stack([out.loss, out.im, out.depth, out.flat, out.iso,
-                         out.mean_density])
+                         out.mean_density, out.mask_frac])
         return (st, opt), log
 
     opt0 = optim.init(state.params)

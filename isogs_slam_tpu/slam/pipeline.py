@@ -41,7 +41,7 @@ from .pointcloud import add_new_gaussians, initialize_first_frame
 from .tracking import TrackingConfig, initialize_camera_pose, track_frame
 
 LOG_FIELDS = ["frame", "stage", "step", "loss", "image_loss", "depth_loss",
-              "flat_loss", "iso_loss", "mean_density"]
+              "flat_loss", "iso_loss", "mean_density", "mask_frac"]
 
 
 class MetricsCSV:
@@ -437,6 +437,14 @@ class SLAM:
                 iters = int(res.iters_run)
                 log = np.asarray(res.loss_log)
                 metrics.append_block(time_idx, "tracking", log)
+                mask_frac = log[max(iters - 1, 0), 6]
+                if mask_frac < 0.01:
+                    print(f"[tracking] WARNING frame {time_idx}: loss mask "
+                          f"covers {mask_frac:.2%} of pixels — silhouette "
+                          f"never exceeds sil_thres="
+                          f"{self.lcfg_track.sil_thres}; pose is frozen at "
+                          f"its initialization. Lower tracking.sil_thres "
+                          f"or reduce the iso weight.")
                 self.stats["tracking_iter_time"].append(
                     (t1 - t0) / max(iters, 1))
             self.stats["tracking_frame_time"].append(t1 - t0)

@@ -30,7 +30,7 @@ from ..core.gaussians import GaussianParams
 from ..ops.rasterize import RasterConfig
 from .losses import LossConfig, LossOutputs, compute_loss
 
-N_LOG = 6  # loss, im, depth, flat, iso, mean_density
+N_LOG = 7  # loss, im, depth, flat, iso, mean_density, mask_frac
 
 
 class TrackingConfig(NamedTuple):
@@ -115,7 +115,7 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         min_loss = jnp.minimum(loss, c.min_loss)
         log = c.log.at[c.it].set(jnp.stack(
             [out.loss, out.im, out.depth, out.flat, out.iso,
-             out.mean_density]))
+             out.mean_density, out.mask_frac]))
         it = c.it + 1
         at_limit = it >= c.cur_max
         if tcfg.use_depth_loss_thres:
