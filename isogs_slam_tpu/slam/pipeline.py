@@ -237,6 +237,8 @@ class SLAM:
         self.keyframe_time_indices: list[int] = []
         self.rng = np.random  # module-level RNG, seeded by seed_everything
         self.key = jax.random.PRNGKey(cfg.get("seed", 0))
+        from ..utils.logging_utils import RunLogger
+        self.logger = RunLogger(cfg)
         self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
                       "mapping_iter_time": [], "mapping_frame_time": []}
         self._compact_every = cfg.get("compact_every", 50)
@@ -437,6 +439,7 @@ class SLAM:
                 iters = int(res.iters_run)
                 log = np.asarray(res.loss_log)
                 metrics.append_block(time_idx, "tracking", log)
+                self.logger.log_block(time_idx, "tracking", log)
                 mask_frac = log[max(iters - 1, 0), 6]
                 if mask_frac < 0.01:
                     print(f"[tracking] WARNING frame {time_idx}: loss mask "
@@ -464,6 +467,8 @@ class SLAM:
                 if mlog is not None:
                     metrics.append_block(time_idx, "mapping",
                                          np.asarray(mlog))
+                    self.logger.log_block(time_idx, "mapping",
+                                          np.asarray(mlog))
                     self.stats["mapping_iter_time"].append(
                         (t3 - t2) / max(cfg["mapping"]["num_iters"], 1))
                 self.stats["mapping_frame_time"].append(t3 - t2)
