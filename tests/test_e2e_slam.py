@@ -1,0 +1,85 @@
+"""Short-run end-to-end SLAM metric regression — the analog of the
+reference's `--end-at N` truncated runs checked against known-good metrics
+(SURVEY.md §4: integration testing = metric evaluation).
+
+Catches whole-pipeline regressions (binning overflow, convention mismatch,
+mask collapse, frozen tracking) that kernel unit tests cannot see.
+"""
+import numpy as np
+import pytest
+
+from isogs_slam_tpu.eval.eval_helpers import eval_sequence
+from isogs_slam_tpu.slam.config import inject_defaults
+from isogs_slam_tpu.slam.pipeline import SLAM
+
+
+def _tiny_config(tmp_path):
+    return inject_defaults(dict(
+        workdir=str(tmp_path), run_name="e2e",
+        seed=0, primary_device="cpu",
+        map_every=3, keyframe_every=3, mapping_window_size=5,
+        eval_every=2, scene_radius_depth_ratio=3,
+        mean_sq_dist_method="projective",
+        gaussian_distribution="isotropic",
+        load_checkpoint=False, checkpoint_time_idx=0,
+        save_checkpoints=True, checkpoint_interval=5,
+        use_wandb=False, compact_every=50, capacity_granule=8192,
+        raster=dict(max_per_tile=384, isect_per_gaussian=6.0,
+                    tile_chunk=30),
+        isogs=dict(sample_size=512, k=8, target_saturation=1.0),
+        data=dict(dataset_name="synthetic", basedir="", sequence="t",
+                  desired_image_height=96, desired_image_width=128,
+                  start=0, end=-1, stride=1, num_frames=7),
+        tracking=dict(
+            use_gt_poses=False, forward_prop=True, num_iters=10,
+            use_sil_for_loss=True, sil_thres=0.90, use_l1=True,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0),
+            lrs=dict(means3D=0.0, rgb_colors=0.0, unnorm_rotations=0.0,
+                     logit_opacities=0.0, log_scales=0.0,
+                     cam_unnorm_rots=0.002, cam_trans=0.01)),
+        mapping=dict(
+            num_iters=12, add_new_gaussians=True, sil_thres=0.5,
+            use_l1=True, use_sil_for_loss=False,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0, flat=50.0, iso=2.0),
+            lrs=dict(means3D=0.0001, rgb_colors=0.0025,
+                     unnorm_rotations=0.001, logit_opacities=0.05,
+                     log_scales=0.001, cam_unnorm_rots=0.0, cam_trans=0.0),
+            prune_gaussians=True,
+            pruning_dict=dict(start_after=0, remove_big_after=0,
+                              stop_after=20, prune_every=20,
+                              removal_opacity_threshold=0.005,
+                              final_removal_opacity_threshold=0.005,
+                              reset_opacities=False,
+                              reset_opacities_every=500),
+            use_gaussian_splatting_densification=False,
+            densify_dict=dict(start_after=500, remove_big_after=3000,
+                              stop_after=5000, densify_every=100,
+                              grad_thresh=0.0002, num_to_split_into=2,
+                              removal_opacity_threshold=0.005,
+                              final_removal_opacity_threshold=0.005,
+                              reset_opacities_every=3000)),
+        viz=dict(render_mode="color"),
+    ))
+
+
+@pytest.mark.slow
+def test_slam_end_to_end_metrics(tmp_path):
+    slam = SLAM(_tiny_config(tmp_path))
+    slam.run()
+    results = eval_sequence(slam.dataset, slam, slam.eval_dir,
+                            sil_thres=0.5, mapping_iters=12,
+                            add_new_gaussians=True, eval_every=2,
+                            make_plots=False)
+    ate_cm = results["Final Average ATE RMSE (cm)"]
+    psnr = results["Average PSNR"]
+    depth_l1_cm = results["Average Depth L1 (cm)"]
+    # thresholds: 2x headroom over observed values (ATE ~2cm, PSNR ~24,
+    # L1 ~12cm at this scale); failures here mean the pipeline broke,
+    # not that it got slightly worse
+    assert np.isfinite(ate_cm) and ate_cm < 8.0, results
+    assert psnr > 18.0, results
+    assert depth_l1_cm < 40.0, results
+    # tracking must actually move poses (frozen-pose regression)
+    assert np.abs(slam.cam_trans[:, 1:slam.num_frames]).max() > 1e-4
