@@ -139,7 +139,9 @@ class OfflineGS:
                 capacity = G.round_capacity(int(n_px * 2.5), granule)
                 self.state = initialize_first_frame(
                     im, d, self.init_cam, capacity, self._next_key(),
-                    cfg["scene_radius_depth_ratio"])
+                    cfg["scene_radius_depth_ratio"],
+                    gaussian_distribution=cfg.get("gaussian_distribution",
+                                                  "isotropic"))
                 continue
             used = int(self.state.hwm)
             if used + self.init_cam.width * self.init_cam.height \
@@ -151,7 +153,9 @@ class OfflineGS:
             tr = jnp.asarray(self.cam_trans[:, t])
             self.state = add_new_gaussians(
                 self.state, im, d, q, tr, float(t), self._next_key(),
-                self.init_cam, self.rcfg, sil_thres=self.sil_thres)
+                self.init_cam, self.rcfg, sil_thres=self.sil_thres,
+                gaussian_distribution=cfg.get("gaussian_distribution",
+                                              "isotropic"))
         print(f"[offline] init done: {int(jnp.sum(self.state.alive))} "
               f"Gaussians (capacity {self.state.capacity})")
 

@@ -272,7 +272,8 @@ class SLAM:
         capacity = G.round_capacity(int(n_px * 1.5), self.granule)
         self.state = initialize_first_frame(
             im, d, self.densify_cam, capacity, self._next_key(),
-            self.config["scene_radius_depth_ratio"])
+            self.config["scene_radius_depth_ratio"],
+            gaussian_distribution=self.config["gaussian_distribution"])
 
     # ------------------------------------------------------------ resume
     def try_resume(self) -> int:
@@ -364,7 +365,8 @@ class SLAM:
         self.state = add_new_gaussians(
             self.state, im, depth, q, t, float(time_idx), self._next_key(),
             self.densify_cam, self.rcfg,
-            sil_thres=self.config["mapping"]["sil_thres"])
+            sil_thres=self.config["mapping"]["sil_thres"],
+            gaussian_distribution=self.config["gaussian_distribution"])
 
     # ----------------------------------------------------------- mapping
     def map(self, time_idx, im, depth):
@@ -401,6 +403,20 @@ class SLAM:
 
     # ------------------------------------------------------------- run
     def run(self, end_at: int | None = None) -> dict:
+        cfg = self.config
+        trace_dir = cfg.get("profile_trace_dir")
+        if trace_dir:
+            # jax.profiler traces (the reference's runtime_stats plus the
+            # deeper tracing its C++ tree listed as TODO, SURVEY.md §5)
+            jax.profiler.start_trace(trace_dir)
+        try:
+            return self._run(end_at)
+        finally:
+            if trace_dir:
+                jax.profiler.stop_trace()
+                print(f"[profile] trace written to {trace_dir}")
+
+    def _run(self, end_at: int | None = None) -> dict:
         cfg = self.config
         start_frame = self.try_resume()
         metrics = MetricsCSV(self.output_dir, start_frame)
@@ -489,6 +505,21 @@ class SLAM:
                                      self._est_w2c(time_idx))
                 self.keyframe_time_indices.append(time_idx)
 
+            # global progress report (report_progress, eval_helpers.py:188+;
+            # failures trigger an emergency checkpoint like the reference's
+            # bare-except at splatam.py:1350-1358)
+            if ((time_idx + 1) % cfg["report_global_progress_every"] == 0
+                    or time_idx == end_frame):
+                try:
+                    self.report_progress(time_idx, im, d)
+                except Exception as e:
+                    print(f"[progress] report failed ({e}); saving "
+                          f"emergency checkpoint")
+                    try:
+                        self.save_checkpoint(time_idx)
+                    except Exception:
+                        pass
+
             # checkpoint
             if (cfg["save_checkpoints"]
                     and time_idx % cfg["checkpoint_interval"] == 0):
@@ -500,12 +531,34 @@ class SLAM:
             self.save_checkpoint(end_frame)
         return self.stats
 
+    def report_progress(self, time_idx: int, im, d):
+        """Render the current frame at its estimated pose and log PSNR /
+        depth L1 (the online progress signal of report_progress)."""
+        from ..eval.eval_helpers import render_at_pose
+        from ..eval.metrics import psnr as psnr_np
+        q, t = self._pose(time_idx)
+        rim, rdepth, sil = render_at_pose(self, np.asarray(q),
+                                          np.asarray(t))
+        gt_im = np.asarray(im)
+        gt_d = np.asarray(d)
+        valid = gt_d > 0
+        p = psnr_np(np.asarray(rim) * valid, gt_im * valid)
+        l1 = float(np.abs((np.asarray(rdepth) - gt_d) * valid).sum()
+                   / max(valid.sum(), 1))
+        n_alive = int(self.state.num_alive())
+        print(f"[progress] frame {time_idx}: PSNR {p:.2f} dB, "
+              f"depth L1 {l1*100:.2f} cm, {n_alive} Gaussians")
+        self.logger.log({"progress/psnr": p, "progress/depth_l1": l1,
+                         "progress/num_gaussians": n_alive,
+                         "progress/frame": time_idx})
+
     def initialize_first_frame_from(self, im, d):
         n_px = int(self.densify_cam.width * self.densify_cam.height)
         capacity = G.round_capacity(int(n_px * 1.5), self.granule)
         self.state = initialize_first_frame(
             im, d, self.densify_cam, capacity, self._next_key(),
-            self.config["scene_radius_depth_ratio"])
+            self.config["scene_radius_depth_ratio"],
+            gaussian_distribution=self.config["gaussian_distribution"])
 
     # --------------------------------------------------------- checkpoint
     def gauss_params_numpy(self) -> dict:

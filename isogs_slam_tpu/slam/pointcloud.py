@@ -44,13 +44,16 @@ def backproject(im: jnp.ndarray, depth: jnp.ndarray, cam: Camera,
     return pts, cols, scale_g * scale_g
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "sil_thres"),
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "sil_thres",
+                                              "gaussian_distribution"),
                    donate_argnames=("state",))
 def add_new_gaussians(state: MapState, gt_im: jnp.ndarray,
                       gt_depth: jnp.ndarray, cam_quat: jnp.ndarray,
                       cam_trans: jnp.ndarray, time_idx,
                       key: jax.Array, cam: Camera, rcfg: RasterConfig,
-                      sil_thres: float = 0.5) -> MapState:
+                      sil_thres: float = 0.5,
+                      gaussian_distribution: str = "isotropic"
+                      ) -> MapState:
     """Densify the map where the current frame is unexplained
     (add_new_gaussians, splatam.py:799-841):
 
@@ -80,14 +83,20 @@ def add_new_gaussians(state: MapState, gt_im: jnp.ndarray,
     w2c = pose_to_w2c(quat_n, cam_trans)
     c2w = jnp.linalg.inv(w2c)
     pts, cols, m3sd = backproject(gt_im, gt_depth, cam, c2w)
-    rows = new_gaussian_rows(pts, cols, jnp.maximum(m3sd, 1e-12),
-                             perturb_key=key)
+    # "isotropic" is force-3D'd with N(0,0.01) log-scale perturbation so the
+    # flatness regularizer has a symmetry-breaking direction; "anisotropic"
+    # tiles without perturbation (initialize_params, splatam.py:357-373)
+    rows = new_gaussian_rows(
+        pts, cols, jnp.maximum(m3sd, 1e-12),
+        perturb_key=key if gaussian_distribution == "isotropic" else None)
     return append_rows(state, rows, valid, time_idx)
 
 
 def initialize_first_frame(gt_im, gt_depth, cam: Camera, capacity: int,
                            key: jax.Array, scene_radius_depth_ratio: float,
-                           time_idx: int = 0) -> MapState:
+                           time_idx: int = 0,
+                           gaussian_distribution: str = "isotropic"
+                           ) -> MapState:
     """First-frame map init (initialize_first_timestep, splatam.py:411-453):
     every valid-depth pixel becomes a Gaussian; scene_radius =
     max(depth)/ratio."""
@@ -96,8 +105,9 @@ def initialize_first_frame(gt_im, gt_depth, cam: Camera, capacity: int,
     pts, cols, m3sd = backproject(jnp.asarray(gt_im), jnp.asarray(gt_depth),
                                   cam, None)
     valid = jnp.asarray(gt_depth)[0].reshape(-1) > 0
-    rows = new_gaussian_rows(pts, cols, jnp.maximum(m3sd, 1e-12),
-                             perturb_key=key)
+    rows = new_gaussian_rows(
+        pts, cols, jnp.maximum(m3sd, 1e-12),
+        perturb_key=key if gaussian_distribution == "isotropic" else None)
     state = append_rows(state, rows, valid, time_idx)
     return state._replace(
         scene_radius=jnp.max(jnp.asarray(gt_depth))
