@@ -88,7 +88,8 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
                      sample_size: int = 8192, k: int = 16,
                      target_saturation: float = 1.0,
                      knn_block: int = 8192, knn_method: str = "hash",
-                     hash_cap: int = 32, hash_table_size: int = 1 << 16):
+                     hash_cap: int = 32, hash_table_size: int = 1 << 16,
+                     grid=None):
     """Sampled iso-surface density loss. Returns (loss, mean_density).
 
     Query points are a fresh random subset of alive Gaussian centers each
@@ -99,6 +100,10 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
     spatial_hash.cu design; O(Q*27*cap), one C-key sort per call),
     "exact" = streaming blocked top-k merge (O(Q*C), reference python
     semantics; prohibitive at C ~ 10^6 on TPU).
+
+    `grid` (optional): a prebuilt HashGrid — mapping phases build it once
+    and reuse it across iterations (Gaussian drift within a phase is far
+    below the cell size).
     """
     C = means.shape[0]
     # random alive subset: perturbed keys, smallest-first -> uniform subset
@@ -113,8 +118,10 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
     if knn_method == "hash":
         from .spatial_hash import (build_hash_grid, default_cell_size,
                                    knn_hash)
-        cell = default_cell_size(jax.lax.stop_gradient(log_scales), alive)
-        grid = build_hash_grid(means_sg, alive, cell, hash_table_size)
+        if grid is None:
+            cell = default_cell_size(jax.lax.stop_gradient(log_scales),
+                                     alive)
+            grid = build_hash_grid(means_sg, alive, cell, hash_table_size)
         d2, nbr = knn_hash(grid, means_sg, queries_sg, k, hash_cap)
     else:
         d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)

@@ -31,7 +31,8 @@ _P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
 
 class HashGrid(NamedTuple):
     order: jnp.ndarray       # [C] int32 point ids sorted by hash bucket
-    cell_of: jnp.ndarray     # [C, 3] int32 cell coords per *sorted* point
+    cell_of: jnp.ndarray     # [C] int32 PACKED cell coords (10b/axis,
+    #                          offset +512) per *sorted* point
     starts: jnp.ndarray      # [H] int32 bucket start in `order`
     ends: jnp.ndarray        # [H] int32 bucket end
     cell_size: jnp.ndarray   # [] f32
@@ -47,6 +48,16 @@ def _hash_cells(cells, table_size):
     return (h & (table_size - 1)).astype(jnp.int32)
 
 
+def _pack_cells(cells):
+    """[..., 3] int cell coords -> [...] packed int32 (10 bits per axis,
+    +512 offset; one gather instead of three at query time). Cells outside
+    [-512, 511] alias — at cell_size ~ 3 point spacings that is a >1500x
+    scene extent, far beyond any map."""
+    c = jnp.clip(cells + 512, 0, 1023)
+    return (c[..., 0] | (c[..., 1] << 10) | (c[..., 2] << 20)).astype(
+        jnp.int32)
+
+
 def median_alive(values: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     """Median of values[alive] with static shapes (dead sort to +inf)."""
     v = jnp.where(alive, values, jnp.inf)
@@ -56,7 +67,7 @@ def median_alive(values: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     return v[jnp.clip(idx, 0, values.shape[0] - 1)]
 
 
-def default_cell_size(log_scales, alive, factor: float = 3.0):
+def default_cell_size(log_scales, alive, factor: float = 2.5):
     """Heuristic: gaussian scales track local point spacing (init sets
     scale = depth/f = pixel footprint, splatam.py:326-338), so a cell of a
     few spacings holds ~K surface points."""
@@ -75,8 +86,9 @@ def build_hash_grid(points, alive, cell_size, table_size: int = 1 << 16
     buckets = jnp.arange(table_size, dtype=jnp.int32)
     starts = jnp.searchsorted(h_sorted, buckets, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(h_sorted, buckets, side="right").astype(jnp.int32)
-    return HashGrid(order=order, cell_of=cells[order], starts=starts,
-                    ends=ends, cell_size=cell_size, table_size=table_size)
+    return HashGrid(order=order, cell_of=_pack_cells(cells)[order],
+                    starts=starts, ends=ends, cell_size=cell_size,
+                    table_size=table_size)
 
 
 def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
@@ -100,9 +112,9 @@ def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
     in_bucket = slots < e[..., None]
     slots = jnp.clip(slots, 0, C - 1)
 
-    cand_cell = grid.cell_of[slots]                           # [Q,27,cap,3]
+    cand_cell = grid.cell_of[slots]                           # [Q,27,cap]
     # exact-cell check kills hash collisions AND duplicate candidates
-    same_cell = jnp.all(cand_cell == ncells[:, :, None, :], axis=-1)
+    same_cell = cand_cell == _pack_cells(ncells)[:, :, None]
     valid = in_bucket & same_cell                             # [Q,27,cap]
 
     cand_idx = grid.order[slots].reshape(queries.shape[0], -1)  # [Q,27*cap]

@@ -46,7 +46,7 @@ class LossConfig(NamedTuple):
     calc_iso: bool = True    # mapping only
     knn_block: int = 8192
     knn_method: str = "hash"   # "hash" (spatial_hash.cu design) | "exact"
-    hash_cap: int = 32
+    hash_cap: int = 24
     hash_table_size: int = 1 << 16
 
 
@@ -71,7 +71,7 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                  cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
                  key: jax.Array | None = None,
                  means2d_offset: jnp.ndarray | None = None,
-                 binning=None) -> LossOutputs:
+                 binning=None, iso_grid=None) -> LossOutputs:
     """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters.
 
     `binning` (optional) reuses precomputed per-tile Gaussian lists — the
@@ -134,7 +134,7 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                 sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
                 target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block,
                 knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
-                hash_table_size=lcfg.hash_table_size)
+                hash_table_size=lcfg.hash_table_size, grid=iso_grid)
         else:
             loss_iso = jnp.zeros(())
             mean_density = jnp.zeros(())

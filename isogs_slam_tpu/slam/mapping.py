@@ -112,9 +112,19 @@ def map_frame(state: MapState,
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
 
+    # hash grid for the iso loss: built once per phase, reused every
+    # iteration (Gaussian drift within a phase << cell size)
+    iso_grid = None
+    if lcfg.calc_iso and lcfg.knn_method == "hash":
+        from ..ops.spatial_hash import build_hash_grid, default_cell_size
+        cell = default_cell_size(p0.log_scales, alive0)
+        iso_grid = build_hash_grid(p0.means3d, alive0, cell,
+                                   lcfg.hash_table_size)
+
     def loss_fn(params, alive, quat, trans, gt_im, gt_depth, key, binning):
         out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                           cam, rcfg, lcfg, key=key, binning=binning)
+                           cam, rcfg, lcfg, key=key, binning=binning,
+                           iso_grid=iso_grid)
         return out.loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
