@@ -218,6 +218,12 @@ class SLAM:
         self.rcfg = RasterConfig(max_per_tile=r["max_per_tile"],
                                  isect_per_gaussian=r["isect_per_gaussian"],
                                  tile_chunk=r["tile_chunk"])
+        # tracking composites against a mature map whose transmittance
+        # saturates after ~10-20 Gaussians; a smaller per-tile cap halves
+        # the gather/backward traffic with no pose-accuracy effect
+        self.rcfg_track = self.rcfg._replace(
+            max_per_tile=r.get("max_per_tile_tracking",
+                               min(256, r["max_per_tile"])))
         self.lcfg_track = _loss_cfg_tracking(cfg)
         self.lcfg_map = _loss_cfg_mapping(cfg)
         self.tcfg = _tracking_cfg(cfg)
@@ -351,7 +357,7 @@ class SLAM:
         q0 = jnp.asarray(self.cam_rots[:, time_idx])
         t0 = jnp.asarray(self.cam_trans[:, time_idx])
         res = track_frame(self.state.params, self.state.alive, q0, t0,
-                          im, depth, self.tracking_cam, self.rcfg,
+                          im, depth, self.tracking_cam, self.rcfg_track,
                           self.lcfg_track, self.tcfg)
         self.cam_rots[:, time_idx] = np.asarray(res.quat)
         self.cam_trans[:, time_idx] = np.asarray(res.trans)
