@@ -44,6 +44,29 @@ def render_at_pose(slam, quat, trans, cam=None):
               jnp.asarray(quat, jnp.float32), jnp.asarray(trans, jnp.float32))
 
 
+def _save_frame_plot(plot_dir, time_idx, im, gt_im, rdepth, gt_depth,
+                     psnr_v, l1_v):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axs = plt.subplots(2, 2, figsize=(9, 6))
+    axs[0, 0].imshow(np.clip(im.transpose(1, 2, 0), 0, 1))
+    axs[0, 0].set_title(f"Rendered (PSNR {psnr_v:.2f})")
+    axs[0, 1].imshow(np.clip(gt_im.transpose(1, 2, 0), 0, 1))
+    axs[0, 1].set_title("GT RGB")
+    vmax = np.percentile(gt_depth[gt_depth > 0], 98) \
+        if (gt_depth > 0).any() else 1.0
+    axs[1, 0].imshow(rdepth[0], cmap="turbo", vmin=0, vmax=vmax)
+    axs[1, 0].set_title(f"Rendered depth (L1 {l1_v*100:.1f}cm)")
+    axs[1, 1].imshow(gt_depth[0], cmap="turbo", vmin=0, vmax=vmax)
+    axs[1, 1].set_title("GT depth")
+    for ax in axs.ravel():
+        ax.axis("off")
+    plt.savefig(os.path.join(plot_dir, f"frame_{time_idx:05d}.png"),
+                bbox_inches="tight", dpi=100)
+    plt.close(fig)
+
+
 def eval_sequence(dataset, slam, eval_dir: str, sil_thres: float,
                   mapping_iters: int, add_new_gaussians: bool,
                   eval_every: int = 1, num_frames: int | None = None,
@@ -98,6 +121,12 @@ def eval_sequence(dataset, slam, eval_dir: str, sil_thres: float,
         denom = max(valid.sum(), 1)
         rmse_list.append(float(np.sqrt(diff ** 2).sum() / denom))
         l1_list.append(float(np.abs(diff).sum() / denom))
+
+        if save_frames:
+            # per-frame qualitative figure (reference plots/*.png,
+            # eval_helpers.py:566-579): rendered vs GT color and depth
+            _save_frame_plot(plot_dir, time_idx, im, gt_im, rdepth,
+                             gt_depth, psnr_list[-1], l1_list[-1])
 
     # trajectory: estimated w2c chain vs gt (eval_helpers.py:581-604)
     try:

@@ -46,7 +46,7 @@ class LossConfig(NamedTuple):
     calc_iso: bool = True    # mapping only
     knn_block: int = 8192
     knn_method: str = "hash"   # "hash" (spatial_hash.cu design) | "exact"
-    hash_cap: int = 24
+    hash_cap: int = 16   # recall@16 = 0.99 at cell 2.5x spacing
     hash_table_size: int = 1 << 16
 
 
