@@ -398,12 +398,24 @@ class SLAM:
                    else time_idx for s in slots]
         print(f"\nSelected Keyframes at Frame {time_idx}: {sel_ids}")
 
+        # Gather the selected window into COMPACT device arrays of a fixed
+        # width W (static shape across all phases, so one jit program).
+        # map_frame bins each passed slot once per phase — handing it the
+        # whole keyframe library would bin hundreds of unused views.
+        W = cfg["mapping_window_size"] + 2
+        pad_slots = slots + [slots[0]] * (W - len(slots))
+        sel = jnp.asarray(np.array(pad_slots[:W], np.int32))
+        kf_colors = jnp.take(self.kf.colors, sel, axis=0)
+        kf_depths = jnp.take(self.kf.depths, sel, axis=0)
+        kf_quats = jnp.take(self.kf.quats, sel, axis=0)
+        kf_trans = jnp.take(self.kf.trans, sel, axis=0)
+
         rand = self.rng.randint(0, len(slots), size=num_iters)
-        iter_slots = jnp.asarray(np.array(slots, np.int32)[rand])
+        iter_slots = jnp.asarray(rand.astype(np.int32))
         keys = jax.random.split(self._next_key(), num_iters)
         self.state, log = map_frame(
-            self.state, self.kf.colors, self.kf.depths, self.kf.quats,
-            self.kf.trans, iter_slots, keys, self.cam, self.rcfg,
+            self.state, kf_colors, kf_depths, kf_quats,
+            kf_trans, iter_slots, keys, self.cam, self.rcfg,
             self.lcfg_map, self.mcfg)
         return log
 
