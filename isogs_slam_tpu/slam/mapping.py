@@ -53,6 +53,10 @@ class MappingConfig(NamedTuple):
     # (keyframe poses are fixed within a phase; Gaussians drift by far less
     # than this pixel margin across the phase's Adam steps)
     bin_margin_px: float = 4.0
+    # optional Inria clone/split densification during mapping
+    # (use_gaussian_splatting_densification, configs/*/splatam.py)
+    use_densification: bool = False
+    densify: tuple | None = None   # DensifyConfig when enabled
 
     def lrs(self) -> GaussianParams:
         f = jnp.float32
@@ -121,13 +125,16 @@ def map_frame(state: MapState,
         iso_grid = build_hash_grid(p0.means3d, alive0, cell,
                                    lcfg.hash_table_size)
 
-    def loss_fn(params, alive, quat, trans, gt_im, gt_depth, key, binning):
+    def loss_fn(params, m2d, alive, quat, trans, gt_im, gt_depth, key,
+                binning):
         out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
                            cam, rcfg, lcfg, key=key, binning=binning,
-                           iso_grid=iso_grid)
+                           iso_grid=iso_grid, means2d_offset=m2d)
         return out.loss, out
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_argnums = (0, 1) if mcfg.use_densification else (0,)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=grad_argnums,
+                                 has_aux=True)
 
     def body(carry, xs):
         st, opt = carry
@@ -139,8 +146,17 @@ def map_frame(state: MapState,
         trans = jax.lax.stop_gradient(kf_transl[slot])
         binning = jax.tree.map(lambda a: a[slot], bins)
 
-        (loss, out), grads = grad_fn(st.params, st.alive, quat, trans,
-                                     gt_im, gt_depth, key, binning)
+        m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
+               if mcfg.use_densification else None)
+        (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive, quat,
+                                          trans, gt_im, gt_depth, key,
+                                          binning)
+        grads = grad_tuple[0]
+        if mcfg.use_densification:
+            from .densify import accumulate_mean2d_gradient, densify_step
+            st = accumulate_mean2d_gradient(st, out.radii, grad_tuple[1])
+            key_d, key = jax.random.split(key)
+            st, opt = densify_step(st, opt, key_d, it, mcfg.densify)
 
         # seen/max_2D_radius bookkeeping (splatam.py:751-753)
         seen = out.radii > 0

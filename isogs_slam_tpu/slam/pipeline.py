@@ -138,12 +138,31 @@ def _mapping_cfg(config) -> MappingConfig:
             "final_removal_opacity_threshold", 0.005),
         reset_opacities=pd.get("reset_opacities", False),
         reset_opacities_every=pd.get("reset_opacities_every", 500))
+    use_dens = m.get("use_gaussian_splatting_densification", False)
+    dens = None
+    if use_dens:
+        from .densify import DensifyConfig
+        dd = m.get("densify_dict", {})
+        dens = DensifyConfig(
+            start_after=dd.get("start_after", 500),
+            remove_big_after=dd.get("remove_big_after", 3000),
+            stop_after=dd.get("stop_after", 5000),
+            densify_every=dd.get("densify_every", 100),
+            grad_thresh=dd.get("grad_thresh", 0.0002),
+            num_to_split_into=dd.get("num_to_split_into", 2),
+            removal_opacity_threshold=dd.get(
+                "removal_opacity_threshold", 0.005),
+            final_removal_opacity_threshold=dd.get(
+                "final_removal_opacity_threshold", 0.005),
+            reset_opacities_every=dd.get("reset_opacities_every", 3000),
+            reset_opacities=dd.get("reset_opacities", False))
     return MappingConfig(
         num_iters=m["num_iters"], lr_means3d=lrs["means3D"],
         lr_rgb_colors=lrs["rgb_colors"],
         lr_unnorm_rotations=lrs["unnorm_rotations"],
         lr_logit_opacities=lrs["logit_opacities"],
-        lr_log_scales=lrs["log_scales"], prune=prune)
+        lr_log_scales=lrs["log_scales"], prune=prune,
+        use_densification=use_dens, densify=dens)
 
 
 def _tracking_cfg(config) -> TrackingConfig:
