@@ -125,7 +125,7 @@ def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
 
 
 def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
-                carries_ref, suffix_ref, *, n_chunks, F):
+                carries_ref, suffix_ref, sat_ref, *, n_chunks, F):
     i = pl.program_id(0)
     px, py = _pixel_coords(None)
     tri_l = _tri_strict_lower()
@@ -136,23 +136,27 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
     for t in range(TPB):
         count = counts_ref[i * TPB + t]
 
-        # pass 1: rebuild the per-chunk carry ladder (log-T before a chunk)
+        # pass 1: rebuild the per-chunk carry ladder (log-T before a chunk).
+        # Once every pixel's transmittance is below T_EPS ("saturation"),
+        # all later chunks contribute w == 0 and zero gradient exactly —
+        # record the saturation chunk and skip everything beyond it in both
+        # passes (most tiles saturate within the first chunk).
         carries_ref[0, :] = jnp.zeros((P,), jnp.float32)
+        sat_ref[0] = n_chunks
         for c in range(n_chunks - 1):
             base = c * CHUNK
 
-            @pl.when(base < count)
+            @pl.when((base < count) & (c < sat_ref[0]))
             def _():
                 gd = gdata_ref[t, pl.ds(base, CHUNK), :]
                 a, _, _, _, _, _ = _chunk_alpha(gd, px, py, count, base)
                 l = jnp.log1p(-a)
-                carries_ref[c + 1, :] = (carries_ref[c, :]
-                                         + jnp.sum(l, axis=0))
-            # dead chunks propagate the carry unchanged
+                nxt = carries_ref[c, :] + jnp.sum(l, axis=0)
+                carries_ref[c + 1, :] = nxt
 
-            @pl.when(base >= count)
-            def _():
-                carries_ref[c + 1, :] = carries_ref[c, :]
+                @pl.when(jnp.max(nxt) < LOG_T_EPS)
+                def _():
+                    sat_ref[0] = c + 1
 
         gout = gout_ref[t, :, :]                            # [P, F]
         gt = gt_ref[t, :, :]                                # [1, P]
@@ -165,7 +169,7 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
         for c in range(n_chunks - 1, -1, -1):
             base = c * CHUNK
 
-            @pl.when(base < count)
+            @pl.when((base < count) & (c < sat_ref[0]))
             def _():
                 gd = gdata_ref[t, pl.ds(base, CHUNK), :]
                 a, contrib, alpha, power, dx, dy = _chunk_alpha(
@@ -275,7 +279,8 @@ def _bwd_call(gdata, counts, gout, gtsum, F: int, interpret: bool):
             ],
             out_specs=pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
             scratch_shapes=[pltpu.VMEM((n_chunks, P), jnp.float32),
-                            pltpu.VMEM((1, P), jnp.float32)],
+                            pltpu.VMEM((1, P), jnp.float32),
+                            pltpu.SMEM((1,), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), jnp.float32),
         interpret=interpret,
