@@ -303,6 +303,9 @@ class SLAM:
     # ------------------------------------------------------------ resume
     def try_resume(self) -> int:
         cfg = self.config
+        if getattr(self, "_resumed_at", None) is not None:
+            return self._resumed_at   # idempotent: run() calls this too
+        self._resumed_at = 0
         if not cfg.get("load_checkpoint", False):
             return 0
         want = cfg.get("checkpoint_time_idx", 0)
@@ -353,6 +356,7 @@ class SLAM:
                 q, tr = self._pose(t)
                 self.kf.add_keyframe(t, im, d, q, tr, self._est_w2c(t))
                 self.keyframe_time_indices.append(t)
+        self._resumed_at = frame
         return frame
 
     # ----------------------------------------------------------- tracking
