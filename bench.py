@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from isogs_slam_tpu.utils.common import enable_compilation_cache
+
+enable_compilation_cache()
+
 REFERENCE_FPS = 0.133
 VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 

@@ -32,7 +32,7 @@ from ..slam.densify import DensifyConfig
 from ..slam.offline import OfflineConfig, expon_lr, offline_chunk
 from ..slam.pipeline import _dataset_from_config, _to_chw_frame
 from ..slam.pointcloud import add_new_gaussians, initialize_first_frame
-from ..utils.common import seed_everything
+from ..utils.common import enable_compilation_cache, seed_everything
 from ..utils.transforms import rotmat_to_quat
 
 
@@ -235,6 +235,7 @@ def main(argv=None):
     parser.add_argument("--no-eval", action="store_true")
     args = parser.parse_args(argv)
     config = load_experiment_config(args.experiment)
+    enable_compilation_cache()
     seed_everything(config.get("seed", 0))
     results_dir = os.path.join(config["workdir"], config["run_name"])
     copy_config_for_provenance(args.experiment, results_dir)

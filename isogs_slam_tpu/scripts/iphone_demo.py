@@ -25,7 +25,7 @@ import numpy as np
 from ..ingest.sources import make_source
 from ..slam.config import load_experiment_config
 from ..slam.pipeline import SLAM
-from ..utils.common import seed_everything
+from ..utils.common import enable_compilation_cache, seed_everything
 
 
 class StreamDataset:
@@ -80,6 +80,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     config = load_experiment_config(args.experiment)
+    enable_compilation_cache()
     seed_everything(config.get("seed", 0))
     source = make_source(args.source, path=args.watch)
 

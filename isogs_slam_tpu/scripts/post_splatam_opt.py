@@ -19,7 +19,7 @@ from ..core import gaussians as G
 from ..io import checkpoints as ckpt_io
 from ..slam.config import (copy_config_for_provenance,
                            load_experiment_config)
-from ..utils.common import seed_everything
+from ..utils.common import enable_compilation_cache, seed_everything
 from .gaussian_splatting import OfflineGS
 
 
@@ -78,6 +78,7 @@ def main(argv=None):
     p.add_argument("--no-eval", action="store_true")
     args = p.parse_args(argv)
     config = load_experiment_config(args.experiment)
+    enable_compilation_cache()
     seed_everything(config.get("seed", 0))
     results_dir = os.path.join(config["workdir"], config["run_name"])
     copy_config_for_provenance(args.experiment, results_dir)

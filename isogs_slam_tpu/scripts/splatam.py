@@ -16,7 +16,7 @@ import numpy as np
 from ..slam.config import (copy_config_for_provenance, inject_defaults,
                            load_experiment_config)
 from ..slam.pipeline import SLAM
-from ..utils.common import seed_everything
+from ..utils.common import enable_compilation_cache, seed_everything
 
 
 def main(argv=None):
@@ -30,6 +30,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_experiment_config(args.experiment)
+    enable_compilation_cache()
     seed_everything(config.get("seed", 0))
 
     results_dir = os.path.join(config["workdir"], config["run_name"])
