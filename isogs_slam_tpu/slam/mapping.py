@@ -93,7 +93,13 @@ def map_frame(state: MapState,
               keys: jnp.ndarray,           # [num_iters] PRNG keys
               cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
               mcfg: MappingConfig):
-    """Returns (new MapState, loss_log [num_iters, N_LOG])."""
+    """Returns (new MapState, loss_log [num_iters, N_LOG]).
+
+    Note on use_densification: tile lists and the iso hash grid are frozen
+    per phase, so rows cloned/split mid-phase start receiving render
+    gradients at the NEXT phase (the reference re-bins every iteration).
+    For SLAM the in-phase delay is at most one map_every interval.
+    """
     assert not lcfg.tracking
     lrs = mcfg.lrs()
     pc = mcfg.prune

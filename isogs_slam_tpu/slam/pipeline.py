@@ -287,7 +287,19 @@ class SLAM:
         used = int(self.state.hwm)
         cap = self.state.capacity
         if used + needed_extra > cap:
-            new_cap = G.round_capacity(used + needed_extra, self.granule)
+            # compaction re-packs pruned rows and lowers hwm without
+            # changing shapes (no re-jit); prefer it when it frees enough
+            n_alive = int(self.state.num_alive())
+            if n_alive < used and n_alive + needed_extra <= cap:
+                self.state = jax.jit(G.compact,
+                                     donate_argnums=0)(self.state)
+                return
+            # otherwise grow geometrically: every new capacity bucket
+            # re-jits the big programs, so bucket count must stay O(log N)
+            new_cap = G.round_capacity(max(used + needed_extra,
+                                           2 * cap), self.granule)
+            print(f"[capacity] {cap} -> {new_cap} "
+                  f"(hwm {used}, recompiling jitted programs)")
             self.state = G.grow_capacity(self.state, new_cap)
 
     # --------------------------------------------------------------- init
