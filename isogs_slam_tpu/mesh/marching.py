@@ -36,9 +36,7 @@ _TETS = np.array([
     [0, 6, 4, 7],
 ], dtype=np.int32)  # all positively oriented (signed volume +1/6)
 
-_CORNER = np.array([[x, y, z] for z in (0, 1) for y in (0, 1)
-                    for x in (0, 1)], dtype=np.int32)
-# _CORNER[i] must satisfy id = x | y<<1 | z<<2
+# _CORNER[i] satisfies id = x | y<<1 | z<<2
 _CORNER = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
                    dtype=np.int32)
 
@@ -161,7 +159,6 @@ def marching_tetrahedra(density: np.ndarray, level: float,
             if rows.size == 0:
                 continue
             for tri in _TRI_TABLE[c]:
-                face_edges = []
                 for eid in tri:
                     a, b = _TET_EDGES[eid]
                     ca, cb = tet[a], tet[b]
@@ -191,7 +188,6 @@ def marching_tetrahedra(density: np.ndarray, level: float,
                     verts_list.append(pos)
                     edge_key_list.append(lo.astype(np.int64) * (nx * ny * nz)
                                          + hi.astype(np.int64))
-                    face_edges.append(None)
                 n = rows.size
                 base = sum(v.shape[0] for v in verts_list[:-3])
                 faces_list.append(np.stack(

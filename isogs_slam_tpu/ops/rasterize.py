@@ -10,31 +10,33 @@ only wires gsplat forward kernels; gradients were zeroed TODOs,
 Numerics follow the EWA-splatting forward of the original 3DGS CUDA kernels
 so golden images match the reference pipeline:
 
-  * camera-frame mean -> pixel:  u = fx*x/(z+1e-7) + cx - 0.5   (the algebraic
-    reduction of the OpenGL projection matrix built in recon_helpers.py:9-13)
   * 2D covariance: cov2d = J W Sigma Wt Jt + 0.3*I with the 1.3*tanfov
-    frustum clamp in the Jacobian
+    frustum clamp in the Jacobian (Sigma computed component-wise on [N]
+    vectors — [N,3,3] tensors have a catastrophic TPU layout)
   * near-plane cull at z <= 0.2, alpha = min(0.99, op*exp(power)),
     skip when power > 0 or alpha < 1/255, terminate when transmittance
     would drop below 1e-4
   * per-16x16-tile, front-to-back depth order
+  * pixel convention: consistent OpenCV pinhole u = fx*x/z + cx (see the
+    note in project_gaussians; the CUDA ndc2Pix chain is half a pixel off
+    the backprojection model the rest of the pipeline uses)
 
 TPU-first design instead of a CUDA translation:
 
-  * Sequential per-pixel alpha blending is re-expressed with exclusive
-    cumulative products of (1 - alpha) along the depth-sorted axis:
-    w_i = a_i * prod_{j<i}(1 - a_j). That is *exactly* the sequential
-    front-to-back recurrence, but it becomes a cumprod + one matmul per tile
-    ([K, pixels]^T @ [K, channels]) which maps onto the MXU, and it is
-    trivially differentiable so jax.grad provides the backward pass the C++
-    port never finished.
-  * Tile binning is a fixed-capacity sort pipeline (global depth argsort +
-    stable counting-style argsort by tile id) rather than atomically
-    appended GPU lists: static shapes for XLA, graceful overflow.
+  * Per-tile compositing runs as a Pallas kernel on TPU
+    (ops/pallas_composite.py: log-space triangular-matmul scan on the MXU,
+    chunked early termination, custom VJP) and as a fused-XLA
+    exclusive-cumprod formulation elsewhere — both exactly the sequential
+    front-to-back recurrence and verified against each other.
+  * Tile binning is ONE packed uint32 key sort
+    (tile_id << depth_bits | quantized log depth) with fixed-capacity
+    expansion: static shapes for XLA, graceful reported overflow.
   * Everything is shape-static: the Gaussian arrays are fixed-capacity with
-    an alive count `n`, the intersection buffer has capacity `max_isect`,
-    and each tile composites at most `max_per_tile` front-most Gaussians
-    (transmittance saturates far earlier; overflow is reported).
+    an alive mask, the intersection buffer has capacity `max_isect`, and
+    each tile composites at most `max_per_tile` front-most Gaussians.
+  * Tile lists may be computed once and REUSED across pose/parameter
+    micro-updates (binning=... argument + margin_px) — the tracking loop
+    bins once per frame, mapping once per keyframe per phase.
 
 The whole render (projection -> binning -> compositing) is jit-compatible
 and differentiable wrt means/quats/scales/opacities/features and the
@@ -50,7 +52,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera, TILE
-from ..utils.transforms import quat_to_rotmat
 
 # CUDA-kernel constants (match diff-gaussian-rasterization)
 NEAR_CULL_Z = 0.2

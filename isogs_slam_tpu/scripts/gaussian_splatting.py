@@ -242,7 +242,6 @@ def main(argv=None):
     runner = offline_splatting(config)
     if not args.no_eval:
         from ..eval.eval_helpers import eval_sequence
-        runner.rcfg = runner.rcfg  # eval renders with the same settings
         eval_sequence(runner.dataset, runner, runner.eval_dir,
                       sil_thres=runner.sil_thres, mapping_iters=1,
                       add_new_gaussians=True,

@@ -28,7 +28,7 @@ from ..core import optim
 from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
 from ..ops.rasterize import RasterConfig
-from .losses import LossConfig, LossOutputs, compute_loss
+from .losses import LossConfig, compute_loss
 
 N_LOG = 7  # loss, im, depth, flat, iso, mean_density, mask_frac
 
