@@ -55,3 +55,54 @@ def test_tile_sharded_render_matches_serial():
     for a, b in zip(g1, g2):
         scale = float(jnp.max(jnp.abs(a)))
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale + 1e-7
+
+
+def test_gauss_sharded_iso_density_matches_serial():
+    from isogs_slam_tpu.ops.iso_loss import knn_blocked
+    from isogs_slam_tpu.parallel.gauss_sharded import (
+        iso_density_gauss_sharded, make_gauss_mesh)
+    from isogs_slam_tpu.utils.transforms import normalize, quat_to_rotmat
+
+    rng = np.random.default_rng(0)
+    n, Q, k = 3000, 128, 16
+    means = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    quats = jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32))
+    logs = jnp.asarray(np.log(rng.uniform(0.02, 0.08, (n, 3))).astype(
+        np.float32))
+    ops = jnp.asarray(rng.uniform(-1, 2, (n, 1)).astype(np.float32))
+    alive = np.ones(n, bool)
+    alive[-200:] = False
+    aj = jnp.asarray(alive)
+    queries = means[jnp.asarray(
+        rng.choice(np.where(alive)[0], Q, replace=False))]
+
+    def serial_density(means_, ops_):
+        d2, nbr = knn_blocked(queries, jax.lax.stop_gradient(means_), aj,
+                              k, 8192)
+        nm = means_[nbr]
+        nq = normalize(quats[nbr])
+        ns = jnp.maximum(jnp.exp(logs[nbr]), 1e-5)
+        no = jax.nn.sigmoid(ops_[nbr][..., 0])
+        valid = aj[nbr] & jnp.isfinite(d2)
+        R = quat_to_rotmat(nq)
+        sinv = 1.0 / (ns ** 2 + 1e-8)
+        delta = queries[:, None, :] - nm
+        rtd = jnp.einsum("qkij,qkj->qki", jnp.swapaxes(R, -1, -2), delta)
+        quad = jnp.sum(sinv * rtd * rtd, -1)
+        return jnp.sum(jnp.where(valid, no * jnp.exp(-0.5 * quad), 0.0),
+                       -1)
+
+    mesh = make_gauss_mesh(8)
+    d_ref = serial_density(means, ops)
+    d_sh = iso_density_gauss_sharded(mesh, queries, means, quats, logs,
+                                     ops, aj, k)
+    assert float(jnp.max(jnp.abs(d_ref - d_sh))) < 1e-5
+    g_ref = jax.grad(lambda m, o: jnp.sum(serial_density(m, o) ** 2),
+                     argnums=(0, 1))(means, ops)
+    g_sh = jax.grad(
+        lambda m, o: jnp.sum(iso_density_gauss_sharded(
+            mesh, queries, m, quats, logs, o, aj, k) ** 2),
+        argnums=(0, 1))(means, ops)
+    for a, b in zip(g_sh, g_ref):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale + 1e-7
