@@ -14,11 +14,14 @@ def get_dataset(config_dict: dict, basedir: str, sequence: str, **kwargs):
     if name == "replicav2":
         return ReplicaV2Dataset(config_dict, basedir, sequence, **kwargs)
     if name == "synthetic":
+        h = kwargs.get("desired_height", 120)
+        w = kwargs.get("desired_width", 160)
         return SyntheticDataset(
             num_frames=kwargs.get("num_frames", 20),
-            height=kwargs.get("desired_height", 120),
-            width=kwargs.get("desired_width", 160),
-            seed=kwargs.get("seed", 0))
+            height=h, width=w, seed=kwargs.get("seed", 0),
+            # scene detail scales with resolution so GT images keep
+            # texture at any render size (~2500/wall at 120x160)
+            n_per_wall=max(2500, (h * w) // 8))
     if name in ("icl",):
         from .icl import ICLDataset
         return ICLDataset(config_dict, basedir, sequence, **kwargs)

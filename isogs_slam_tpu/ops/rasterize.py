@@ -91,6 +91,11 @@ class Projected(NamedTuple):
     valid: jnp.ndarray    # [N] bool
     rect_min: jnp.ndarray  # [N, 2] int32 tile rect (x, y) inclusive-min
     rect_max: jnp.ndarray  # [N, 2] int32 tile rect exclusive-max
+    # margin-free footprint rect: candidates a tile owes only to the
+    # binning margin rank AFTER true candidates, so per-tile top-K
+    # truncation never displaces real content with margin padding
+    rect_min_true: jnp.ndarray  # [N, 2] int32
+    rect_max_true: jnp.ndarray  # [N, 2] int32
 
 
 def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
@@ -190,12 +195,19 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     # margin_px widens the rect only — used when a binning is reused across
     # pose/parameter micro-updates (tracking) so frozen tile lists stay
     # conservative supersets.
-    rr = radius_f + margin_px
     gx, gy = cam.tiles_x, cam.tiles_y
-    rxmin = jnp.clip(jnp.floor((u - rr) / TILE), 0, gx).astype(jnp.int32)
-    rymin = jnp.clip(jnp.floor((v - rr) / TILE), 0, gy).astype(jnp.int32)
-    rxmax = jnp.clip(jnp.floor((u + rr + TILE - 1) / TILE), 0, gx).astype(jnp.int32)
-    rymax = jnp.clip(jnp.floor((v + rr + TILE - 1) / TILE), 0, gy).astype(jnp.int32)
+
+    def rects(r):
+        x0 = jnp.clip(jnp.floor((u - r) / TILE), 0, gx).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor((v - r) / TILE), 0, gy).astype(jnp.int32)
+        x1 = jnp.clip(jnp.floor((u + r + TILE - 1) / TILE), 0,
+                      gx).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((v + r + TILE - 1) / TILE), 0,
+                      gy).astype(jnp.int32)
+        return x0, y0, x1, y1
+
+    rxmin, rymin, rxmax, rymax = rects(radius_f + margin_px)
+    txmin, tymin, txmax, tymax = rects(radius_f)
     tiles_touched = jnp.maximum(rxmax - rxmin, 0) * jnp.maximum(rymax - rymin, 0)
     valid = valid & (tiles_touched > 0) & (radius_f > 0)
 
@@ -203,7 +215,9 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     return Projected(u=u, v=v, depth=tz, conic=conic, radius=radius,
                      valid=valid,
                      rect_min=jnp.stack([rxmin, rymin], axis=-1),
-                     rect_max=jnp.stack([rxmax, rymax], axis=-1))
+                     rect_max=jnp.stack([rxmax, rymax], axis=-1),
+                     rect_min_true=jnp.stack([txmin, tymin], axis=-1),
+                     rect_max_true=jnp.stack([txmax, tymax], axis=-1))
 
 
 class Binning(NamedTuple):
@@ -237,11 +251,14 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     offs = jnp.cumsum(counts) - counts             # exclusive prefix sum
     total = offs[-1] + counts[-1]
 
-    # quantized near->far order key (indices are order statistics; no grads)
+    # quantized near->far order key (indices are order statistics; no
+    # grads); the top bit of the depth field demotes margin-only
+    # candidates below every true candidate of the tile
+    dqb = db - 1
     depth = jax.lax.stop_gradient(proj.depth)
     zn, zf = NEAR_CULL_Z, 1000.0
     t = jnp.log(jnp.clip(depth, zn, zf) / zn) / float(np.log(zf / zn))
-    qz = (t * ((1 << db) - 1)).astype(jnp.uint32)
+    qz = (t * ((1 << dqb) - 1)).astype(jnp.uint32)
 
     # expand: one entry per (gaussian, covered tile). Per-gaussian fields are
     # bit-packed so the [M]-sized random access is 3 gathers, not 6:
@@ -249,6 +266,12 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     packed = (proj.rect_min[:, 0].astype(jnp.uint32)
               | (proj.rect_min[:, 1].astype(jnp.uint32) << 10)
               | (span_x.astype(jnp.uint32) << 20))
+    # margin-free rect packed as 4x8 bits (tile coords < 256 <-> images up
+    # to 4096 px); only consulted to flag margin-only candidates
+    packed_true = (proj.rect_min_true[:, 0].astype(jnp.uint32)
+                   | (proj.rect_min_true[:, 1].astype(jnp.uint32) << 8)
+                   | (proj.rect_max_true[:, 0].astype(jnp.uint32) << 16)
+                   | (proj.rect_max_true[:, 1].astype(jnp.uint32) << 24))
     src = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
                      total_repeat_length=M)
     pos = jnp.arange(M, dtype=jnp.int32)
@@ -260,7 +283,14 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     tile_x = rxmin + local % sx
     tile_y = rymin + local // sx
     tile_id = (tile_y * cam.tiles_x + tile_x).astype(jnp.uint32)
-    key = (tile_id << db) | qz[src]
+    pt = packed_true[src]
+    in_true = ((tile_x >= (pt & 0xFF).astype(jnp.int32))
+               & (tile_y >= ((pt >> 8) & 0xFF).astype(jnp.int32))
+               & (tile_x < ((pt >> 16) & 0xFF).astype(jnp.int32))
+               & (tile_y < ((pt >> 24) & 0xFF).astype(jnp.int32)))
+    margin_bit = jnp.where(in_true, jnp.uint32(0),
+                           jnp.uint32(1) << dqb)
+    key = (tile_id << db) | margin_bit | qz[src]
     in_range = pos < jnp.minimum(total, M)
     key = jnp.where(in_range, key, jnp.uint32(0xFFFFFFFF))
 

@@ -44,6 +44,10 @@ class TrackingConfig(NamedTuple):
     # this pixel margin, and reused by every tracking iteration (pose
     # micro-updates stay inside the margin)
     bin_margin_px: float = 8.0
+    # exact reference semantics: rebuild the tile lists at the current pose
+    # every iteration (~2x tracking cost; removes the frozen-list
+    # approximation — use when per-tile density approaches max_per_tile)
+    rebin_every_iter: bool = False
 
 
 class TrackResult(NamedTuple):
@@ -63,16 +67,22 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
     max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
     params = jax.tree.map(jax.lax.stop_gradient, params)
 
-    # bin once at the initial pose with a safety margin; every iteration
-    # reuses the frozen tile lists (compute_loss re-projects exactly)
-    from ..ops.rasterize import bin_gaussians, project_gaussians
-    from ..utils.transforms import transform_to_frame
-    mc0, qc0 = transform_to_frame(params.means3d, params.unnorm_rotations,
-                                  init_quat, init_trans,
-                                  gaussians_grad=False, camera_grad=False)
-    proj0 = project_gaussians(mc0, qc0, params.log_scales, alive, cam,
-                              margin_px=tcfg.bin_margin_px)
-    binning = bin_gaussians(proj0, cam, rcfg)
+    if tcfg.rebin_every_iter:
+        binning = None
+    else:
+        # bin once at the initial pose with a safety margin; every
+        # iteration reuses the frozen tile lists (compute_loss re-projects
+        # exactly; margin-only candidates rank after true ones)
+        from ..ops.rasterize import bin_gaussians, project_gaussians
+        from ..utils.transforms import transform_to_frame
+        mc0, qc0 = transform_to_frame(params.means3d,
+                                      params.unnorm_rotations,
+                                      init_quat, init_trans,
+                                      gaussians_grad=False,
+                                      camera_grad=False)
+        proj0 = project_gaussians(mc0, qc0, params.log_scales, alive, cam,
+                                  margin_px=tcfg.bin_margin_px)
+        binning = bin_gaussians(proj0, cam, rcfg)
 
     def loss_fn(pose):
         quat, trans = pose
