@@ -56,7 +56,8 @@ def main():
                                              map_frame)
     from isogs_slam_tpu.slam.pointcloud import (add_new_gaussians,
                                                 initialize_first_frame)
-    from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
+    from isogs_slam_tpu.slam.tracking import (BinningReuse, TrackingConfig,
+                                              track_frame)
     from isogs_slam_tpu.utils.transforms import rotmat_to_quat
 
     n_wall = max(400, (H * W) // 40)  # scene detail scales with resolution
@@ -77,6 +78,10 @@ def main():
         calc_iso=True, knn_block=8192)
     tcfg = TrackingConfig(num_iters=track_iters, lr_quat=0.0004,
                           lr_trans=0.002)
+    track_bins = (BinningReuse(cam, rcfg_track,
+                               margin_px=tcfg.cross_frame_margin_px,
+                               slack_px=tcfg.bin_margin_px)
+                  if tcfg.reuse_binning else None)
     mcfg = MappingConfig(
         num_iters=map_iters, lr_means3d=0.0001, lr_rgb_colors=0.0025,
         lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
@@ -85,13 +90,21 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
+    _frame_cache = {}
+
     def frame(i):
+        # cache: the synthetic data generator is not part of the measured
+        # pipeline (real runs stream decoded sensor data)
+        if i in _frame_cache:
+            return _frame_cache[i]
         color, depth, _, pose = ds[i]
         im = jnp.asarray(color, jnp.float32).transpose(2, 0, 1) / 255.0
         d = jnp.asarray(depth, jnp.float32).transpose(2, 0, 1)
         w2c = np.linalg.inv(np.asarray(pose, np.float64))
         q = np.asarray(rotmat_to_quat(jnp.asarray(w2c[:3, :3], jnp.float32)))
-        return im, d, q.astype(np.float32), w2c[:3, 3].astype(np.float32)
+        out = (im, d, q.astype(np.float32), w2c[:3, 3].astype(np.float32))
+        _frame_cache[i] = out
+        return out
 
     # first-frame init: one Gaussian per pixel (splatam.py:411-453)
     im0, d0, q0, t0 = frame(0)
@@ -125,9 +138,13 @@ def main():
 
         t_start = time.perf_counter()
         log(f"frame {i}: tracking")
+        binning = (track_bins.get(state.params, state.alive,
+                                  jnp.asarray(q_gt), jnp.asarray(t_gt))
+                   if track_bins is not None else None)
         res = track_frame(state.params, state.alive,
                           jnp.asarray(q_gt), jnp.asarray(t_gt),
-                          im, d, cam, rcfg_track, lcfg_track, tcfg)
+                          im, d, cam, rcfg_track, lcfg_track, tcfg,
+                          binning=binning)
         jax.block_until_ready(res.quat)
         t_track = time.perf_counter()
 
@@ -148,14 +165,18 @@ def main():
                                     kf_trans, iter_slots, keys, cam, rcfg,
                                     lcfg_map, mcfg)
             jax.block_until_ready(mlog)
+            if track_bins is not None:
+                track_bins.invalidate()
         t_map = time.perf_counter()
         if timing is not None:
             timing["track"] += t_track - t_start
             timing["map"] += t_map - t_track
         return state
 
-    # warmup (compiles tracking, densify, mapping programs)
+    # warmup (compiles tracking, densify, mapping programs; the second
+    # frame-1 call exercises the binning-reuse drift check)
     state = run_frame(map_every - 1, state, None)
+    state = run_frame(1, state, None)
     state = run_frame(1, state, None)
     jax.block_until_ready(state.params.means3d)
     # pre-render all measured frames: the synthetic data generator is not

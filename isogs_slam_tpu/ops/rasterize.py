@@ -98,22 +98,15 @@ class Projected(NamedTuple):
     rect_max_true: jnp.ndarray  # [N, 2] int32
 
 
-def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
-                      log_scales: jnp.ndarray, alive: jnp.ndarray,
-                      cam: Camera,
-                      means2d_offset: jnp.ndarray | None = None,
-                      margin_px: float = 0.0) -> Projected:
-    """Per-Gaussian EWA projection (the analog of gsplat's
-    `projection_ewa_3dgs_fused_fwd` used at cpp/src/rendering/renderer.cpp:83-100).
+def _ewa_core(means_cam, quats, log_scales, cam: Camera):
+    """The shared EWA projection math on FLAT [R]-shaped component vectors
+    (used per-Gaussian by project_gaussians and per-tile-slot by
+    render_slots). Returns (u, v, cA, cB, cC, det, radius_f).
 
-    means_cam: [N,3] camera-frame centers; quats: [N,4] camera-frame
-    orientation (w,x,y,z, unnormalized ok); log_scales: [N,3];
-    alive: [N] bool mask of real Gaussians.
-    means2d_offset: optional [N,2] zero tensor whose gradient is the
-    densification signal (the reference's `means2D.retain_grad()` pattern,
-    scripts/splatam.py:528-530).
+    means_cam: [R,3]; quats: [R,4] camera-frame (w,x,y,z, unnormalized ok);
+    log_scales: [R,3].
     """
-    tx, ty, tz = means_cam[:, 0], means_cam[:, 1], means_cam[:, 2]
+    tx, ty, tz = means_cam[..., 0], means_cam[..., 1], means_cam[..., 2]
     tz_safe = tz + 1e-7
 
     # OpenCV pinhole: pixel (i, j) is the ray ((i-cx)/fx, (j-cy)/fy, 1), so
@@ -126,16 +119,13 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     # test resolutions it dominated the tracking error.
     u = cam.fx * tx / tz_safe + cam.cx
     v = cam.fy * ty / tz_safe + cam.cy
-    if means2d_offset is not None:
-        u = u + means2d_offset[:, 0]
-        v = v + means2d_offset[:, 1]
 
     # 3D covariance Sigma = R diag(s^2) R^T, computed component-wise:
-    # [N,3,3] tensors have a catastrophic TPU layout (3-lane rows padded to
-    # 128), so keep everything as [N] vectors.
+    # [R,3,3] tensors have a catastrophic TPU layout (3-lane rows padded to
+    # 128), so keep everything as [R] vectors.
     qn = quats / jnp.sqrt(jnp.maximum(
         jnp.sum(quats * quats, axis=-1, keepdims=True), 1e-24))
-    r, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r, x, y, z = qn[..., 0], qn[..., 1], qn[..., 2], qn[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - r * z)
     r02 = 2 * (x * z + r * y)
@@ -145,8 +135,8 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
     r20 = 2 * (x * z - r * y)
     r21 = 2 * (y * z + r * x)
     r22 = 1 - 2 * (x * x + y * y)
-    s = jnp.exp(log_scales)                        # [N,3]
-    v0, v1, v2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    s = jnp.exp(log_scales)                        # [R,3]
+    v0, v1, v2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
     # Sigma_ij = sum_k R_ik v_k R_jk (6 unique entries)
     s00 = r00 * v0 * r00 + r01 * v1 * r01 + r02 * v2 * r02
     s01 = r00 * v0 * r10 + r01 * v1 * r11 + r02 * v2 * r12
@@ -182,12 +172,39 @@ def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
 
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(det != 0, det, 1.0)
-    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=-1)
+    cA = c11 / det_safe
+    cB = -c01 / det_safe
+    cC = c00 / det_safe
 
     mid = 0.5 * (c00 + c11)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lam1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    return u, v, cA, cB, cC, det, radius_f
+
+
+def project_gaussians(means_cam: jnp.ndarray, quats: jnp.ndarray,
+                      log_scales: jnp.ndarray, alive: jnp.ndarray,
+                      cam: Camera,
+                      means2d_offset: jnp.ndarray | None = None,
+                      margin_px: float = 0.0) -> Projected:
+    """Per-Gaussian EWA projection (the analog of gsplat's
+    `projection_ewa_3dgs_fused_fwd` used at cpp/src/rendering/renderer.cpp:83-100).
+
+    means_cam: [N,3] camera-frame centers; quats: [N,4] camera-frame
+    orientation (w,x,y,z, unnormalized ok); log_scales: [N,3];
+    alive: [N] bool mask of real Gaussians.
+    means2d_offset: optional [N,2] zero tensor whose gradient is the
+    densification signal (the reference's `means2D.retain_grad()` pattern,
+    scripts/splatam.py:528-530).
+    """
+    tz = means_cam[:, 2]
+    u, v, cA, cB, cC, det, radius_f = _ewa_core(means_cam, quats,
+                                                log_scales, cam)
+    if means2d_offset is not None:
+        u = u + means2d_offset[:, 0]
+        v = v + means2d_offset[:, 1]
+    conic = jnp.stack([cA, cB, cC], axis=-1)
 
     valid = alive & (tz > NEAR_CULL_Z) & (det != 0)
 
@@ -313,6 +330,48 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
                    n_isect=total, n_overflow=n_overflow)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_partial_grad(table, idx, live_cols):
+    """table[idx], but the backward pass scatter-adds ONLY `live_cols`.
+
+    The per-iteration cost floor of render backward is the [rows, 12]
+    scatter-add of d_table (sort-based on TPU: ~constant + per-column
+    cost, NOTES.md lever 1). Columns whose parameter chains are severed by
+    stop_gradient (tracking: opacity + rgb + the silhouette ones-column;
+    mapping: the ones-column) still pay full scatter price under the plain
+    gather VJP because XLA cannot split one fused scatter. This wrapper
+    keeps the single fused forward gather and drops the dead columns from
+    the backward scatter explicitly.
+    """
+    return table[idx]
+
+
+def _grpg_fwd(table, idx, live_cols):
+    return table[idx], (idx, table.shape)
+
+
+def _grpg_bwd(live_cols, res, dg):
+    idx, shape = res
+    cols = list(live_cols)
+    dsub = dg[..., cols]                                     # [T, K, L]
+    dtab_sub = jnp.zeros((shape[0], len(cols)), dg.dtype).at[idx].add(dsub)
+    # re-expand to full width as a concat (zero columns feed only
+    # stop_gradient'ed chains downstream)
+    zero = jnp.zeros((shape[0],), dg.dtype)
+    out_cols, j = [], 0
+    for c in range(shape[1]):
+        if c in cols:
+            out_cols.append(dtab_sub[:, j])
+            j += 1
+        else:
+            out_cols.append(zero)
+    dtab = jnp.stack(out_cols, axis=1)
+    return dtab, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_gather_rows_partial_grad.defvjp(_grpg_fwd, _grpg_bwd)
+
+
 def _composite_chunk(gdata, counts, origins, F: int):
     """Composite one chunk of tiles.
 
@@ -368,8 +427,13 @@ def _composite_chunk(gdata, counts, origins, F: int):
 
 
 def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
-              binning: Binning, cam: Camera, cfg: RasterConfig):
-    """Rasterize all tiles -> ([num_tiles, P, F], [num_tiles, P]) tile images."""
+              binning: Binning, cam: Camera, cfg: RasterConfig,
+              live_grad_cols: tuple | None = None):
+    """Rasterize all tiles -> ([num_tiles, P, F], [num_tiles, P]) tile images.
+
+    live_grad_cols: static tuple of table-column indices whose gradients
+    survive downstream stop_gradients; when given, the backward scatter
+    covers only those columns (see _gather_rows_partial_grad)."""
     F = features.shape[-1]
     num_tiles = cam.num_tiles
     K = cfg.max_per_tile
@@ -377,8 +441,20 @@ def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
     table = jnp.concatenate(
         [proj.u[:, None], proj.v[:, None], proj.conic,
          opacity[:, None], features], axis=-1)                 # [N, 6+F]
-    gdata = table[binning.tile_gauss]                          # [T, K, 6+F]
-    counts = binning.tile_count
+    if live_grad_cols is None:
+        gdata = table[binning.tile_gauss]                      # [T, K, 6+F]
+    else:
+        gdata = _gather_rows_partial_grad(table, binning.tile_gauss,
+                                          tuple(live_grad_cols))
+    return composite_gdata(gdata, binning.tile_count, cam, cfg, F)
+
+
+def composite_gdata(gdata: jnp.ndarray, counts: jnp.ndarray, cam: Camera,
+                    cfg: RasterConfig, F: int):
+    """Backend dispatch for per-tile compositing of already-assembled
+    per-slot records gdata [num_tiles, K, 6+F] (absolute-pixel u, v)."""
+    num_tiles = cam.num_tiles
+    K = gdata.shape[1]
     tx = jnp.arange(num_tiles, dtype=jnp.int32) % cam.tiles_x
     ty = jnp.arange(num_tiles, dtype=jnp.int32) // cam.tiles_x
     origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
@@ -432,7 +508,8 @@ def render(means_cam: jnp.ndarray,
            cam: Camera,
            cfg: RasterConfig = RasterConfig(),
            means2d_offset: jnp.ndarray | None = None,
-           binning: Binning | None = None):
+           binning: Binning | None = None,
+           live_grad_cols: tuple | None = None):
     """Full differentiable render.
 
     Inputs (all fixed-capacity [N, ...] with `alive` masking the real prefix):
@@ -456,7 +533,8 @@ def render(means_cam: jnp.ndarray,
         # frozen tile lists may reference Gaussians culled at the current
         # pose; silence them instead of compositing stale conics
         opacity = jnp.where(proj.valid, opacity, 0.0)
-    tiles_out, tiles_t = composite(proj, opacity, features, binning, cam, cfg)
+    tiles_out, tiles_t = composite(proj, opacity, features, binning, cam,
+                                   cfg, live_grad_cols)
 
     F = features.shape[-1]
     gx, gy = cam.tiles_x, cam.tiles_y
@@ -476,9 +554,16 @@ def render(means_cam: jnp.ndarray,
     }
 
 
+# table columns for the fused 6-feature render: u, v, A, B, C, op,
+# r, g, b, z, ones, z^2
+TRACKING_LIVE_COLS = (0, 1, 2, 3, 4, 9, 11)   # pose reaches u,v,conic,z,z^2
+MAPPING_LIVE_COLS = tuple(i for i in range(12) if i != 10)  # ones-col dead
+
+
 def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
                     rgb_colors, alive, cam, cfg: RasterConfig = RasterConfig(),
-                    means2d_offset=None, binning: Binning | None = None):
+                    means2d_offset=None, binning: Binning | None = None,
+                    live_grad_cols: tuple | None = None):
     """Fused RGB + depth + silhouette + depth^2 render.
 
     The reference rasterizes twice per loss evaluation — once for RGB and once
@@ -491,8 +576,92 @@ def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
     feats = jnp.concatenate(
         [rgb_colors, z, jnp.ones_like(z), z * z], axis=-1)
     out = render(means_cam, quats_cam, log_scales, logit_opacities, feats,
-                 alive, cam, cfg, means2d_offset, binning)
+                 alive, cam, cfg, means2d_offset, binning, live_grad_cols)
     img = out["image"]
     return (img[0:3], img[3:4], img[4], img[5:6],
             {"radii": out["radii"], "final_T": out["final_T"],
              "n_isect": out["n_isect"], "n_overflow": out["n_overflow"]})
+
+
+# ---------------------------------------------------------------------------
+# Slot-table render path (tracking): Gaussian params are FROZEN during a
+# tracking frame — only the camera pose moves. So the per-(tile, slot) raw
+# parameter records can be gathered ONCE per frame, and each iteration does
+# the world->camera transform + EWA projection PER SLOT. Consequences:
+#   * no per-iteration [T*K, 12] gather (the dominant glue cost), and
+#   * no backward scatter AT ALL — the only differentiable leaf is the pose,
+#     which enters per-slot as a broadcast, so its VJP is a reduction.
+# The per-gaussian path re-projects all N rows per iteration and scatters
+# d_table into [N, 12]; at N ~ 10^6 and T*K ~ 8*10^5 the slot path is
+# strictly less work for tracking. (Mapping keeps the per-gaussian path:
+# there the params are the gradient targets, so the scatter is inherent.)
+
+# raw record: means3d(3), unnorm_rot(4), log_scales(3), logit_op(1), rgb(3)
+RAW_COLS = 14
+
+
+def gather_raw_table(params, tile_gauss: jnp.ndarray) -> jnp.ndarray:
+    """[T, K] indices -> [T, K, RAW_COLS] raw world-frame records."""
+    raw = jnp.concatenate(
+        [params.means3d, params.unnorm_rotations, params.log_scales,
+         params.logit_opacities, params.rgb_colors], axis=-1)
+    return jax.lax.stop_gradient(raw)[tile_gauss]
+
+
+def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
+                          cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
+                          cam: Camera, cfg: RasterConfig):
+    """Fused RGB+depth+sil+depth^2 render from a frozen per-slot raw table.
+
+    raw [T, K, RAW_COLS] from gather_raw_table (stop-gradient params);
+    counts [T]; (cam_quat, cam_trans) the ONLY differentiable inputs.
+    Returns (im, depth, silhouette, depth_sq, aux) like render_rgbd_sil.
+    """
+    from ..utils.transforms import normalize, quat_mult
+    T, K = raw.shape[0], raw.shape[1]
+    flat = raw.reshape(T * K, RAW_COLS)
+    means_w = flat[:, 0:3]
+    quats_w = flat[:, 3:7]
+    log_scales = flat[:, 7:10]
+    logit_op = flat[:, 10]
+    rgb = flat[:, 11:14]
+
+    # world -> camera per slot (transform_to_frame semantics)
+    qn = normalize(cam_quat)
+    r, x, y, z = qn[0], qn[1], qn[2], qn[3]
+    # R rows (w2c) applied to means: component-wise to stay [R]-shaped
+    m0, m1, m2 = means_w[:, 0], means_w[:, 1], means_w[:, 2]
+    tx = ((1 - 2 * (y * y + z * z)) * m0 + 2 * (x * y - r * z) * m1
+          + 2 * (x * z + r * y) * m2 + cam_trans[0])
+    ty = (2 * (x * y + r * z) * m0 + (1 - 2 * (x * x + z * z)) * m1
+          + 2 * (y * z - r * x) * m2 + cam_trans[1])
+    tz = (2 * (x * z - r * y) * m0 + 2 * (y * z + r * x) * m1
+          + (1 - 2 * (x * x + y * y)) * m2 + cam_trans[2])
+    means_cam = jnp.stack([tx, ty, tz], axis=-1)
+    quats_cam = quat_mult(qn[None, :], normalize(quats_w))
+
+    u, v, cA, cB, cC, det, radius_f = _ewa_core(means_cam, quats_cam,
+                                                log_scales, cam)
+    valid = (tz > NEAR_CULL_Z) & (det != 0) & (radius_f > 0)
+    opacity = jnp.where(valid, jax.nn.sigmoid(logit_op), 0.0)
+    # sanitize culled slots: their conic/uv can be inf/NaN and would poison
+    # the pose gradient through 0 * NaN
+    safe = lambda a: jnp.where(valid, a, 0.0)
+    u, v, cA, cB, cC = safe(u), safe(v), safe(cA), safe(cB), safe(cC)
+    zf = safe(tz)
+
+    gdata = jnp.stack(
+        [u, v, cA, cB, cC, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2],
+         zf, valid.astype(jnp.float32), zf * zf],
+        axis=-1).reshape(T, K, 12)
+    tiles_out, tiles_t = composite_gdata(gdata, counts, cam, cfg, 6)
+
+    gx, gy = cam.tiles_x, cam.tiles_y
+    img = tiles_out.reshape(gy, gx, TILE, TILE, 6)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, 6)
+    img = jnp.moveaxis(img[: cam.height, : cam.width], -1, 0)
+    final_t = tiles_t.reshape(gy, gx, TILE, TILE)
+    final_t = final_t.transpose(0, 2, 1, 3).reshape(gy * TILE, gx * TILE)
+    final_t = final_t[: cam.height, : cam.width]
+    return (img[0:3], img[3:4], img[4], img[5:6],
+            {"final_T": final_t})

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
 from ..ops.iso_loss import flat_loss, iso_surface_loss
-from ..ops.rasterize import RasterConfig, render_rgbd_sil
+from ..ops.rasterize import (MAPPING_LIVE_COLS, TRACKING_LIVE_COLS,
+                             RasterConfig, render_rgbd_sil)
 from ..ops.ssim import calc_ssim
 from ..utils.transforms import transform_to_frame
 
@@ -65,29 +66,11 @@ class LossOutputs(NamedTuple):
     # makes that observable
 
 
-def compute_loss(params: GaussianParams, alive: jnp.ndarray,
-                 cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
-                 gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
-                 cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
-                 key: jax.Array | None = None,
-                 means2d_offset: jnp.ndarray | None = None,
-                 binning=None, iso_grid=None) -> LossOutputs:
-    """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters.
-
-    `binning` (optional) reuses precomputed per-tile Gaussian lists — the
-    tracking loop bins once per frame with a pixel margin instead of once
-    per iteration.
-    """
+def _photometric_terms(im, depth, silhouette, depth_sq, gt_im, gt_depth,
+                       lcfg: LossConfig):
+    """Masks + RGB/depth loss terms shared by the per-gaussian and the
+    per-slot (tracking) render paths. Returns (loss_im, loss_depth, mask)."""
     tracking = lcfg.tracking
-
-    means_cam, quats_cam = transform_to_frame(
-        params.means3d, params.unnorm_rotations, cam_quat, cam_trans,
-        gaussians_grad=not tracking, camera_grad=tracking)
-
-    im, depth, silhouette, depth_sq, aux = render_rgbd_sil(
-        means_cam, quats_cam, params.log_scales, params.logit_opacities,
-        params.rgb_colors, alive, cam, rcfg, means2d_offset, binning)
-
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     presence_sil_mask = silhouette > lcfg.sil_thres
 
@@ -122,6 +105,63 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
         loss_im = jnp.sum(im_abs)
     else:
         loss_im = 0.8 * im_abs.mean() + 0.2 * (1.0 - calc_ssim(im, gt_im))
+    return loss_im, loss_depth, mask
+
+
+def compute_loss_slots(raw: jnp.ndarray, counts: jnp.ndarray,
+                       cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
+                       gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
+                       cam: Camera, rcfg: RasterConfig,
+                       lcfg: LossConfig) -> LossOutputs:
+    """Tracking loss via the frozen slot-table render
+    (ops/rasterize.render_rgbd_sil_slots): params gathered once per frame,
+    pose the only gradient leaf — no per-iteration gather, no scatter."""
+    assert lcfg.tracking
+    from ..ops.rasterize import render_rgbd_sil_slots
+    im, depth, silhouette, depth_sq, _ = render_rgbd_sil_slots(
+        raw, counts, cam_quat, cam_trans, cam, rcfg)
+    loss_im, loss_depth, mask = _photometric_terms(
+        im, depth, silhouette, depth_sq, gt_im, gt_depth, lcfg)
+    z = jnp.zeros(())
+    total = lcfg.w_im * loss_im + lcfg.w_depth * loss_depth
+    return LossOutputs(loss=total, im=lcfg.w_im * loss_im,
+                       depth=lcfg.w_depth * loss_depth, flat=z, iso=z,
+                       mean_density=z,
+                       radii=jnp.zeros((1,), jnp.int32),
+                       n_overflow=jnp.zeros((), jnp.int32),
+                       mask_frac=jnp.mean(mask.astype(jnp.float32)))
+
+
+def compute_loss(params: GaussianParams, alive: jnp.ndarray,
+                 cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
+                 gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
+                 cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
+                 key: jax.Array | None = None,
+                 means2d_offset: jnp.ndarray | None = None,
+                 binning=None, iso_grid=None) -> LossOutputs:
+    """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters.
+
+    `binning` (optional) reuses precomputed per-tile Gaussian lists — the
+    tracking loop bins once per frame with a pixel margin instead of once
+    per iteration.
+    """
+    tracking = lcfg.tracking
+
+    means_cam, quats_cam = transform_to_frame(
+        params.means3d, params.unnorm_rotations, cam_quat, cam_trans,
+        gaussians_grad=not tracking, camera_grad=tracking)
+
+    # only columns with live parameter chains pay backward-scatter cost:
+    # tracking severs everything but the pose path (u, v, conic, z, z^2);
+    # mapping severs only the constant silhouette ones-column
+    live_cols = TRACKING_LIVE_COLS if tracking else MAPPING_LIVE_COLS
+    im, depth, silhouette, depth_sq, aux = render_rgbd_sil(
+        means_cam, quats_cam, params.log_scales, params.logit_opacities,
+        params.rgb_colors, alive, cam, rcfg, means2d_offset, binning,
+        live_grad_cols=live_cols)
+
+    loss_im, loss_depth, mask = _photometric_terms(
+        im, depth, silhouette, depth_sq, gt_im, gt_depth, lcfg)
 
     # IsoGS regularizers (mapping only, splatam.py:572-680)
     if not tracking:

@@ -38,7 +38,8 @@ from .config import inject_defaults
 from .losses import LossConfig
 from .mapping import MappingConfig, PruneConfig, map_frame
 from .pointcloud import add_new_gaussians, initialize_first_frame
-from .tracking import TrackingConfig, initialize_camera_pose, track_frame
+from .tracking import (BinningReuse, TrackingConfig, initialize_camera_pose,
+                       track_frame)
 
 LOG_FIELDS = ["frame", "stage", "step", "loss", "image_loss", "depth_loss",
               "flat_loss", "iso_loss", "mean_density", "mask_frac"]
@@ -171,7 +172,11 @@ def _tracking_cfg(config) -> TrackingConfig:
         num_iters=t["num_iters"], lr_quat=t["lrs"]["cam_unnorm_rots"],
         lr_trans=t["lrs"]["cam_trans"],
         use_depth_loss_thres=t.get("use_depth_loss_thres", False),
-        depth_loss_thres=t.get("depth_loss_thres", 100000))
+        depth_loss_thres=t.get("depth_loss_thres", 100000),
+        bin_margin_px=t.get("bin_margin_px", 8.0),
+        rebin_every_iter=t.get("rebin_every_iter", False),
+        reuse_binning=t.get("reuse_binning", True),
+        cross_frame_margin_px=t.get("cross_frame_margin_px", 16.0))
 
 
 def _to_chw_frame(color, depth):
@@ -267,6 +272,14 @@ class SLAM:
         self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
                       "mapping_iter_time": [], "mapping_frame_time": []}
         self._compact_every = cfg.get("compact_every", 50)
+        # cross-frame tracking tile-list cache; invalidated on every map
+        # edit (densify / mapping / compaction / growth)
+        self._track_bins = (BinningReuse(
+            self.tracking_cam, self.rcfg_track,
+            margin_px=self.tcfg.cross_frame_margin_px,
+            slack_px=self.tcfg.bin_margin_px)
+            if self.tcfg.reuse_binning and not self.tcfg.rebin_every_iter
+            else None)
 
     # ------------------------------------------------------------- helpers
     def _next_key(self):
@@ -283,10 +296,16 @@ class SLAM:
         q, t = self._pose(time_idx)
         return np.asarray(pose_to_w2c(q, t))
 
+    def _map_changed(self):
+        """Invalidate caches keyed on map rows (tracking tile lists)."""
+        if self._track_bins is not None:
+            self._track_bins.invalidate()
+
     def _ensure_capacity(self, needed_extra: int):
         used = int(self.state.hwm)
         cap = self.state.capacity
         if used + needed_extra > cap:
+            self._map_changed()
             # compaction re-packs pruned rows and lowers hwm without
             # changing shapes (no re-jit); prefer it when it frees enough
             n_alive = int(self.state.num_alive())
@@ -391,9 +410,12 @@ class SLAM:
             return None
         q0 = jnp.asarray(self.cam_rots[:, time_idx])
         t0 = jnp.asarray(self.cam_trans[:, time_idx])
+        binning = (self._track_bins.get(self.state.params, self.state.alive,
+                                        q0, t0)
+                   if self._track_bins is not None else None)
         res = track_frame(self.state.params, self.state.alive, q0, t0,
                           im, depth, self.tracking_cam, self.rcfg_track,
-                          self.lcfg_track, self.tcfg)
+                          self.lcfg_track, self.tcfg, binning=binning)
         self.cam_rots[:, time_idx] = np.asarray(res.quat)
         self.cam_trans[:, time_idx] = np.asarray(res.trans)
         return res
@@ -403,6 +425,7 @@ class SLAM:
         self._ensure_capacity(
             int(self.densify_cam.width * self.densify_cam.height))
         q, t = self._pose(time_idx)
+        self._map_changed()
         self.state = add_new_gaussians(
             self.state, im, depth, q, t, float(time_idx), self._next_key(),
             self.densify_cam, self.rcfg,
@@ -448,6 +471,7 @@ class SLAM:
         rand = self.rng.randint(0, len(slots), size=num_iters)
         iter_slots = jnp.asarray(rand.astype(np.int32))
         keys = jax.random.split(self._next_key(), num_iters)
+        self._map_changed()
         self.state, log = map_frame(
             self.state, kf_colors, kf_depths, kf_quats,
             kf_trans, iter_slots, keys, self.cam, self.rcfg,
@@ -543,6 +567,7 @@ class SLAM:
                 self.stats["mapping_frame_time"].append(t3 - t2)
                 # periodic compaction of pruned rows
                 if (time_idx + 1) % self._compact_every == 0:
+                    self._map_changed()
                     self.state = jax.jit(G.compact,
                                          donate_argnums=0)(self.state)
 

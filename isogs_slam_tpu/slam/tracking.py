@@ -48,6 +48,16 @@ class TrackingConfig(NamedTuple):
     # every iteration (~2x tracking cost; removes the frozen-list
     # approximation — use when per-tile density approaches max_per_tile)
     rebin_every_iter: bool = False
+    # cross-FRAME reuse (opt-in): the map only changes on map_every frames,
+    # so one binning (widened to cross_frame_margin_px) can serve the
+    # tracking-only frames in between; rebin when the predicted pose drifts
+    # more than (cross_frame_margin_px - bin_margin_px) pixels from the bin
+    # pose. Off by default: at Replica-like motion (~10 px/frame at fx=600)
+    # the margin needed for even one reused frame inflates the tile
+    # expansion towards isect-capacity overflow — only worth enabling for
+    # slow-motion sequences (measured: no gain on the bench trajectory).
+    reuse_binning: bool = False
+    cross_frame_margin_px: float = 16.0
 
 
 class TrackResult(NamedTuple):
@@ -57,38 +67,148 @@ class TrackResult(NamedTuple):
     loss_log: jnp.ndarray   # [2*num_iters, N_LOG], nan-padded
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg"))
+def bin_at_pose(params: GaussianParams, alive: jnp.ndarray,
+                quat: jnp.ndarray, trans: jnp.ndarray,
+                margin_px: jnp.ndarray, cam: Camera, rcfg: RasterConfig):
+    """Tile lists for the map as seen from (quat, trans), widened by
+    margin_px (traced scalar, so margin changes don't recompile)."""
+    from ..ops.rasterize import bin_gaussians, project_gaussians
+    from ..utils.transforms import transform_to_frame
+    params = jax.tree.map(jax.lax.stop_gradient, params)
+    mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                quat, trans, gaussians_grad=False,
+                                camera_grad=False)
+    proj = project_gaussians(mc, qc, params.log_scales, alive, cam,
+                             margin_px=margin_px)
+    return bin_gaussians(proj, cam, rcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "stride"))
+def max_pixel_drift(means3d: jnp.ndarray, alive: jnp.ndarray,
+                    q0: jnp.ndarray, t0: jnp.ndarray,
+                    q1: jnp.ndarray, t1: jnp.ndarray,
+                    cam: Camera, stride: int = 16) -> jnp.ndarray:
+    """Max screen-space displacement (pixels, Chebyshev) of a subsample of
+    the map between two camera poses — the cheap validity test for reusing
+    frozen tile lists across frames."""
+    from ..ops.rasterize import NEAR_CULL_Z
+    from ..utils.transforms import (normalize, pose_to_w2c,
+                                    transform_points)
+    pts = jax.lax.stop_gradient(means3d[::stride])
+    al = alive[::stride]
+
+    def uv(q, t):
+        w2c = pose_to_w2c(normalize(q), t)
+        pc = transform_points(w2c, pts)
+        z = jnp.where(pc[:, 2] > 0, pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        onscreen = ((u > -48.0) & (u < cam.width + 48.0)
+                    & (v > -48.0) & (v < cam.height + 48.0))
+        return u, v, (pc[:, 2] > NEAR_CULL_Z), onscreen
+
+    u0, v0, m0, on0 = uv(q0, t0)
+    u1, v1, m1, on1 = uv(q1, t1)
+    # points that left/entered the near frustum force a rebin too
+    changed_vis = (m0 ^ m1) & (on0 | on1) & al
+    ok = al & m0 & m1 & (on0 | on1)
+    d = jnp.maximum(jnp.abs(u0 - u1), jnp.abs(v0 - v1))
+    drift = jnp.max(jnp.where(ok, d, 0.0))
+    return jnp.where(jnp.any(changed_vis), jnp.inf, drift)
+
+
+class BinningReuse:
+    """Host-side cache of tracking tile lists across frames.
+
+    The map only changes on map_every frames; between map updates the same
+    (margin-widened) binning serves every tracking frame. The owner calls
+    `invalidate()` whenever the map state changes (densify / mapping step /
+    prune compaction / capacity growth — anything that edits rows or their
+    order) and `get()` per frame; `get` rebins when the predicted pose has
+    drifted beyond the margin budget. NOTES.md lever 1b.
+    """
+
+    def __init__(self, cam: Camera, rcfg: RasterConfig,
+                 margin_px: float = 16.0, slack_px: float = 8.0):
+        self.cam = cam
+        self.rcfg = rcfg
+        self.margin_px = float(margin_px)
+        # pixels reserved for within-frame optimizer motion
+        self.slack_px = float(slack_px)
+        self._binning = None
+        self._pose = None
+        self.n_rebins = 0
+        self.n_reuses = 0
+
+    def invalidate(self):
+        self._binning = None
+
+    def get(self, params: GaussianParams, alive: jnp.ndarray,
+            quat: jnp.ndarray, trans: jnp.ndarray):
+        if self._binning is not None:
+            bq, bt = self._pose
+            drift = float(max_pixel_drift(params.means3d, alive, bq, bt,
+                                          quat, trans, self.cam))
+            if drift <= self.margin_px - self.slack_px:
+                self.n_reuses += 1
+                return self._binning
+        self._binning = bin_at_pose(params, alive, quat, trans,
+                                    jnp.float32(self.margin_px),
+                                    self.cam, self.rcfg)
+        self._pose = (quat, trans)
+        self.n_rebins += 1
+        return self._binning
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "lcfg", "tcfg"))
 def track_frame(params: GaussianParams, alive: jnp.ndarray,
                 init_quat: jnp.ndarray, init_trans: jnp.ndarray,
                 gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
                 cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
-                tcfg: TrackingConfig) -> TrackResult:
+                tcfg: TrackingConfig,
+                binning=None) -> TrackResult:
     assert lcfg.tracking
     max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
     params = jax.tree.map(jax.lax.stop_gradient, params)
 
     if tcfg.rebin_every_iter:
-        binning = None
+        # exact reference semantics: per-gaussian re-projection + fresh
+        # tile lists every iteration
+        def loss_fn(pose):
+            quat, trans = pose
+            out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
+                               cam, rcfg, lcfg, binning=None)
+            return out.loss, out
     else:
-        # bin once at the initial pose with a safety margin; every
-        # iteration reuses the frozen tile lists (compute_loss re-projects
-        # exactly; margin-only candidates rank after true ones)
-        from ..ops.rasterize import bin_gaussians, project_gaussians
-        from ..utils.transforms import transform_to_frame
-        mc0, qc0 = transform_to_frame(params.means3d,
-                                      params.unnorm_rotations,
-                                      init_quat, init_trans,
-                                      gaussians_grad=False,
-                                      camera_grad=False)
-        proj0 = project_gaussians(mc0, qc0, params.log_scales, alive, cam,
-                                  margin_px=tcfg.bin_margin_px)
-        binning = bin_gaussians(proj0, cam, rcfg)
+        if binning is None:
+            # bin once at the initial pose with a safety margin; every
+            # iteration reuses the frozen tile lists (the slot render
+            # re-projects exactly; margin-only candidates rank after true
+            # ones)
+            from ..ops.rasterize import bin_gaussians, project_gaussians
+            from ..utils.transforms import transform_to_frame
+            mc0, qc0 = transform_to_frame(params.means3d,
+                                          params.unnorm_rotations,
+                                          init_quat, init_trans,
+                                          gaussians_grad=False,
+                                          camera_grad=False)
+            proj0 = project_gaussians(mc0, qc0, params.log_scales, alive,
+                                      cam, margin_px=tcfg.bin_margin_px)
+            binning = bin_gaussians(proj0, cam, rcfg)
+        # gather the frozen per-slot raw table ONCE per frame; iterations
+        # re-project per slot with pose as the only gradient leaf (no
+        # per-iteration gather, no backward scatter — see rasterize.py)
+        from ..ops.rasterize import gather_raw_table
+        from .losses import compute_loss_slots
+        raw = gather_raw_table(params, binning.tile_gauss)
+        counts = binning.tile_count
 
-    def loss_fn(pose):
-        quat, trans = pose
-        out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                           cam, rcfg, lcfg, binning=binning)
-        return out.loss, out
+        def loss_fn(pose):
+            quat, trans = pose
+            out = compute_loss_slots(raw, counts, quat, trans, gt_im,
+                                     gt_depth, cam, rcfg, lcfg)
+            return out.loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     lrs = (jnp.float32(tcfg.lr_quat), jnp.float32(tcfg.lr_trans))
