@@ -82,6 +82,47 @@ def knn_blocked(queries: jnp.ndarray, points: jnp.ndarray,
     return jnp.maximum(best_d, 0.0), best_i
 
 
+class IsoKnnPool(NamedTuple):
+    """Per-phase frozen (query, neighbor) index pool for the iso loss.
+
+    The KNN indices are order statistics of the Gaussian positions; within
+    a mapping phase the positions drift by far less than the inter-point
+    spacing, so the indices can be computed once per phase for a pool of
+    queries and each iteration samples its 8192 queries from the pool —
+    the same trust model as the phase-frozen tile lists and hash grid.
+    Density values/gradients are always evaluated at the CURRENT params.
+    """
+
+    q_idx: jnp.ndarray     # [P] int32 pooled query ids (Gaussian rows)
+    nbr: jnp.ndarray       # [P, k] int32 neighbor ids
+    nbr_ok: jnp.ndarray    # [P, k] bool neighbor exists (finite KNN dist)
+
+
+def build_iso_knn_pool(means, log_scales, alive, key, pool_size: int,
+                       k: int, knn_method: str = "hash",
+                       hash_cap: int = 16, hash_table_size: int = 1 << 16,
+                       knn_block: int = 8192, grid=None) -> IsoKnnPool:
+    """One batched KNN for `pool_size` random alive queries."""
+    C = means.shape[0]
+    means_sg = jax.lax.stop_gradient(means)
+    scores = jax.random.uniform(key, (C,)) + jnp.where(alive, 0.0, 2.0)
+    _, q_idx = jax.lax.top_k(-scores, min(pool_size, C))
+    queries_sg = means_sg[q_idx]
+    if knn_method == "hash":
+        from .spatial_hash import (build_hash_grid, default_cell_size,
+                                   knn_hash)
+        if grid is None:
+            cell = default_cell_size(jax.lax.stop_gradient(log_scales),
+                                     alive)
+            grid = build_hash_grid(means_sg, alive, cell, hash_table_size)
+        d2, nbr = knn_hash(grid, means_sg, queries_sg, k, hash_cap)
+    else:
+        d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)
+    return IsoKnnPool(q_idx=q_idx.astype(jnp.int32),
+                      nbr=nbr.astype(jnp.int32),
+                      nbr_ok=jnp.isfinite(d2))
+
+
 def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
                      log_scales: jnp.ndarray, logit_opacities: jnp.ndarray,
                      alive: jnp.ndarray, key: jax.Array,
@@ -89,7 +130,7 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
                      target_saturation: float = 1.0,
                      knn_block: int = 8192, knn_method: str = "hash",
                      hash_cap: int = 32, hash_table_size: int = 1 << 16,
-                     grid=None):
+                     grid=None, pool: IsoKnnPool | None = None):
     """Sampled iso-surface density loss. Returns (loss, mean_density).
 
     Query points are a fresh random subset of alive Gaussian centers each
@@ -104,27 +145,41 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
     `grid` (optional): a prebuilt HashGrid — mapping phases build it once
     and reuse it across iterations (Gaussian drift within a phase is far
     below the cell size).
+
+    `pool` (optional): a per-phase IsoKnnPool — skips the per-call KNN
+    entirely; this call samples `sample_size` pool rows with `key`.
     """
     C = means.shape[0]
-    # random alive subset: perturbed keys, smallest-first -> uniform subset
-    scores = jax.random.uniform(key, (C,)) + jnp.where(alive, 0.0, 2.0)
-    _, q_idx = jax.lax.top_k(-scores, min(sample_size, C))
-    q_valid = alive[q_idx]
-    queries = means[q_idx]                                         # [Q,3]
-
-    # KNN over alive Gaussians (indices are order statistics; stop grads)
-    means_sg = jax.lax.stop_gradient(means)
-    queries_sg = jax.lax.stop_gradient(queries)
-    if knn_method == "hash":
-        from .spatial_hash import (build_hash_grid, default_cell_size,
-                                   knn_hash)
-        if grid is None:
-            cell = default_cell_size(jax.lax.stop_gradient(log_scales),
-                                     alive)
-            grid = build_hash_grid(means_sg, alive, cell, hash_table_size)
-        d2, nbr = knn_hash(grid, means_sg, queries_sg, k, hash_cap)
+    if pool is not None:
+        P = pool.q_idx.shape[0]
+        sel = jax.random.randint(key, (min(sample_size, P),), 0, P)
+        q_idx = pool.q_idx[sel]
+        nbr = pool.nbr[sel]
+        pool_ok = pool.nbr_ok[sel]
+        q_valid = alive[q_idx]
+        queries = means[q_idx]
+        d2 = jnp.where(pool_ok, 0.0, jnp.inf)  # only consulted as validity
     else:
-        d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)
+        # random alive subset: perturbed keys, smallest-first -> uniform
+        scores = jax.random.uniform(key, (C,)) + jnp.where(alive, 0.0, 2.0)
+        _, q_idx = jax.lax.top_k(-scores, min(sample_size, C))
+        q_valid = alive[q_idx]
+        queries = means[q_idx]                                     # [Q,3]
+
+        # KNN over alive Gaussians (indices are order statistics; no grads)
+        means_sg = jax.lax.stop_gradient(means)
+        queries_sg = jax.lax.stop_gradient(queries)
+        if knn_method == "hash":
+            from .spatial_hash import (build_hash_grid, default_cell_size,
+                                       knn_hash)
+            if grid is None:
+                cell = default_cell_size(jax.lax.stop_gradient(log_scales),
+                                         alive)
+                grid = build_hash_grid(means_sg, alive, cell,
+                                       hash_table_size)
+            d2, nbr = knn_hash(grid, means_sg, queries_sg, k, hash_cap)
+        else:
+            d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)
 
     # Neighbor data (gathered; Sigma^{-1} built only on the [Q,K] set
     # instead of all N as the reference does — same math, less memory)

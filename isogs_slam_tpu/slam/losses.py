@@ -49,6 +49,12 @@ class LossConfig(NamedTuple):
     knn_method: str = "hash"   # "hash" (spatial_hash.cu design) | "exact"
     hash_cap: int = 16   # recall@16 = 0.99 at cell 2.5x spacing
     hash_table_size: int = 1 << 16
+    # per-phase frozen KNN pool: compute neighbor indices ONCE per mapping
+    # phase for iso_pool_size queries; iterations sample 8192 from the pool
+    # (indices are order statistics — positions drift far less than the
+    # point spacing within a phase). 0 disables (fresh KNN per iteration,
+    # exact reference semantics).
+    iso_pool_size: int = 32768
 
 
 class LossOutputs(NamedTuple):
@@ -138,7 +144,7 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                  cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
                  key: jax.Array | None = None,
                  means2d_offset: jnp.ndarray | None = None,
-                 binning=None, iso_grid=None) -> LossOutputs:
+                 binning=None, iso_grid=None, iso_pool=None) -> LossOutputs:
     """gt_im [3,H,W] in [0,1]; gt_depth [1,H,W] meters.
 
     `binning` (optional) reuses precomputed per-tile Gaussian lists — the
@@ -174,7 +180,8 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                 sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
                 target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block,
                 knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
-                hash_table_size=lcfg.hash_table_size, grid=iso_grid)
+                hash_table_size=lcfg.hash_table_size, grid=iso_grid,
+                pool=iso_pool)
         else:
             loss_iso = jnp.zeros(())
             mean_density = jnp.zeros(())

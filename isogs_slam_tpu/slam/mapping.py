@@ -125,17 +125,31 @@ def map_frame(state: MapState,
     # hash grid for the iso loss: built once per phase, reused every
     # iteration (Gaussian drift within a phase << cell size)
     iso_grid = None
+    iso_pool = None
     if lcfg.calc_iso and lcfg.knn_method == "hash":
         from ..ops.spatial_hash import build_hash_grid, default_cell_size
         cell = default_cell_size(p0.log_scales, alive0)
         iso_grid = build_hash_grid(p0.means3d, alive0, cell,
                                    lcfg.hash_table_size)
+    if lcfg.calc_iso and lcfg.iso_pool_size > 0:
+        # per-phase frozen KNN pool (see LossConfig.iso_pool_size): one
+        # batched KNN here replaces 27-cell candidate gathers + top-k in
+        # every iteration — the dominant iso cost at N ~ 10^6
+        from ..ops.iso_loss import build_iso_knn_pool
+        pool_key = jax.random.fold_in(keys[0], 0x150)
+        iso_pool = build_iso_knn_pool(
+            p0.means3d, p0.log_scales, alive0, pool_key,
+            pool_size=lcfg.iso_pool_size, k=lcfg.iso_k,
+            knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
+            hash_table_size=lcfg.hash_table_size,
+            knn_block=lcfg.knn_block, grid=iso_grid)
 
     def loss_fn(params, m2d, alive, quat, trans, gt_im, gt_depth, key,
                 binning):
         out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
                            cam, rcfg, lcfg, key=key, binning=binning,
-                           iso_grid=iso_grid, means2d_offset=m2d)
+                           iso_grid=iso_grid, means2d_offset=m2d,
+                           iso_pool=iso_pool)
         return out.loss, out
 
     grad_argnums = (0, 1) if mcfg.use_densification else (0,)

@@ -121,7 +121,8 @@ def _loss_cfg_mapping(config) -> LossConfig:
         iso_k=iso_cfg.get("k", 16),
         iso_target=iso_cfg.get("target_saturation", 1.0),
         calc_iso=w.get("iso", 2.0) != 0.0,
-        knn_block=iso_cfg.get("knn_block", 8192))
+        knn_block=iso_cfg.get("knn_block", 8192),
+        iso_pool_size=iso_cfg.get("knn_pool_size", 32768))
 
 
 def _mapping_cfg(config) -> MappingConfig:
@@ -456,20 +457,24 @@ class SLAM:
                    else time_idx for s in slots]
         print(f"\nSelected Keyframes at Frame {time_idx}: {sel_ids}")
 
-        # Gather the selected window into COMPACT device arrays of a fixed
-        # width W (static shape across all phases, so one jit program).
-        # map_frame bins each passed slot once per phase — handing it the
-        # whole keyframe library would bin hundreds of unused views.
-        W = cfg["mapping_window_size"] + 2
-        pad_slots = slots + [slots[0]] * (W - len(slots))
-        sel = jnp.asarray(np.array(pad_slots[:W], np.int32))
+        # Sample the per-iteration keyframe choices FIRST, then gather only
+        # the DISTINCT sampled slots into compact device arrays: map_frame
+        # bins each passed slot once per phase (~250 ms each at 1M
+        # Gaussians), so never-sampled window slots would be pure waste.
+        # The compact width is bucketed (multiple of 4) so the number of
+        # distinct jit programs stays small.
+        rand = self.rng.randint(0, len(slots), size=num_iters)
+        uniq, iter_local = np.unique(rand, return_inverse=True)
+        comp_slots = [slots[int(u)] for u in uniq]
+        Wb = max(4, -(-len(comp_slots) // 4) * 4)
+        pad_slots = comp_slots + [comp_slots[0]] * (Wb - len(comp_slots))
+        sel = jnp.asarray(np.array(pad_slots, np.int32))
         kf_colors = jnp.take(self.kf.colors, sel, axis=0)
         kf_depths = jnp.take(self.kf.depths, sel, axis=0)
         kf_quats = jnp.take(self.kf.quats, sel, axis=0)
         kf_trans = jnp.take(self.kf.trans, sel, axis=0)
 
-        rand = self.rng.randint(0, len(slots), size=num_iters)
-        iter_slots = jnp.asarray(rand.astype(np.int32))
+        iter_slots = jnp.asarray(iter_local.astype(np.int32))
         keys = jax.random.split(self._next_key(), num_iters)
         self._map_changed()
         self.state, log = map_frame(
