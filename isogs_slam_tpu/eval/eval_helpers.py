@@ -156,6 +156,8 @@ def eval_sequence(dataset, slam, eval_dir: str, sil_thres: float,
         "Average MS-SSIM": float(np.mean(ssim_list)),
         "Average LPIPS": float(np.mean(lpips_list)),
     }
+    from .metrics import lpips_variant
+    results["LPIPS Variant"] = lpips_variant()
     print(f"Average PSNR: {results['Average PSNR']:.2f}")
     print(f"Average Depth RMSE: {results['Average Depth RMSE (cm)']:.2f} cm")
     print(f"Average Depth L1: {results['Average Depth L1 (cm)']:.2f} cm")

@@ -62,6 +62,34 @@ class LPIPSAlex:
                     raise KeyError(f"{weights_path} missing {k}")
         self._fn = jax.jit(self._distance)
 
+    @classmethod
+    def random(cls, seed: int = 0) -> "LPIPSAlex":
+        """Untrained fallback: the same AlexNet topology with seeded
+        He-normal conv weights and uniform (1/C) linear heads.
+
+        Random deep conv features are a known serviceable perceptual
+        proxy; values are NOT comparable to pretrained-AlexNet LPIPS and
+        are labeled `LPIPS (rand-alexnet)` wherever reported. Exists so a
+        zero-egress environment still gets a finite, deterministic
+        perceptual-distance signal instead of NaN.
+        """
+        rng = np.random.default_rng(seed)
+        obj = cls.__new__(cls)
+        params = {}
+        in_ch = 3
+        for i, (out_ch, k, _, _) in enumerate(_CONVS):
+            fan_in = in_ch * k * k
+            params[f"conv{i}_w"] = jnp.asarray(
+                rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                           (out_ch, in_ch, k, k)).astype(np.float32))
+            params[f"conv{i}_b"] = jnp.zeros((out_ch,), jnp.float32)
+            params[f"lin{i}_w"] = jnp.full((1, out_ch, 1, 1),
+                                           1.0 / out_ch, jnp.float32)
+            in_ch = out_ch
+        obj.params = params
+        obj._fn = jax.jit(obj._distance)
+        return obj
+
     def _features(self, x):
         # [1,3,H,W] in [-1,1] -> list of 5 feature maps
         x = ((x - jnp.asarray(_SHIFT)[None, :, None, None])

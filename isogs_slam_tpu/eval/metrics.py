@@ -58,15 +58,34 @@ def evaluate_ate(gt_traj: list, est_traj: list) -> float:
 
 # ---------------------------------------------------------------- LPIPS
 _LPIPS_NET = None
+_LPIPS_VARIANT = None
+
+
+def lpips_variant() -> str:
+    """Which LPIPS is in effect: "alex" (pretrained export), "rand-alexnet"
+    (seeded random-feature fallback), or "none" (NaN reported)."""
+    path = os.environ.get("ISOGS_LPIPS_WEIGHTS", "")
+    if path and os.path.exists(path):
+        return "alex"
+    if os.environ.get("ISOGS_LPIPS_FALLBACK", "random") != "none":
+        return "rand-alexnet"
+    return "none"
 
 
 def lpips(img1: np.ndarray, img2: np.ndarray) -> float:
-    """AlexNet LPIPS if weights are available, else NaN (documented gap)."""
-    global _LPIPS_NET
-    path = os.environ.get("ISOGS_LPIPS_WEIGHTS", "")
-    if not path or not os.path.exists(path):
+    """AlexNet LPIPS from a weight export when available; otherwise a
+    seeded random-feature AlexNet (LPIPSAlex.random — finite, deterministic,
+    labeled distinctly in eval output). Set ISOGS_LPIPS_FALLBACK=none to get
+    NaN instead of the substitution."""
+    global _LPIPS_NET, _LPIPS_VARIANT
+    variant = lpips_variant()
+    if variant == "none":
         return float("nan")
-    if _LPIPS_NET is None:
+    if _LPIPS_NET is None or _LPIPS_VARIANT != variant:
         from .lpips_jax import LPIPSAlex
-        _LPIPS_NET = LPIPSAlex(path)
+        if variant == "alex":
+            _LPIPS_NET = LPIPSAlex(os.environ["ISOGS_LPIPS_WEIGHTS"])
+        else:
+            _LPIPS_NET = LPIPSAlex.random(seed=0)
+        _LPIPS_VARIANT = variant
     return float(_LPIPS_NET(img1, img2))

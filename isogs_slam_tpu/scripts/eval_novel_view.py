@@ -73,6 +73,8 @@ def eval_nvs(dataset, state, cam: Camera, rcfg: RasterConfig,
         "Average NVS Depth L1 (cm)": float(np.mean(l1s) * 100),
         "Frames": len(psnrs),
     }
+    from ..eval.metrics import lpips_variant
+    results["LPIPS Variant"] = lpips_variant()
     for name, vals in (("nvs_psnr", psnrs), ("nvs_ssim", ssims),
                        ("nvs_lpips", lpipss), ("nvs_l1", l1s)):
         np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.asarray(vals))

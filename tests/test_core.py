@@ -164,3 +164,27 @@ def test_iso_density_value():
     # each query sits on one gaussian (D~0.5) and far from the other
     assert abs(float(mean_d) - 0.5) < 1e-3
     assert abs(float(loss) - 0.25) < 1e-3
+
+
+def test_lpips_random_fallback():
+    """No-weights LPIPS substitutes the seeded random-feature AlexNet:
+    finite, deterministic, zero on identical inputs, labeled distinctly."""
+    import os
+    from isogs_slam_tpu.eval import metrics as M
+    os.environ.pop("ISOGS_LPIPS_WEIGHTS", None)
+    os.environ.pop("ISOGS_LPIPS_FALLBACK", None)
+    assert M.lpips_variant() == "rand-alexnet"
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape).astype(np.float32), 0, 1)
+    d_same = M.lpips(a, a)
+    d_diff = M.lpips(a, b)
+    assert abs(d_same) < 1e-6
+    assert np.isfinite(d_diff) and d_diff > 1e-5
+    assert M.lpips(a, b) == d_diff  # deterministic
+    os.environ["ISOGS_LPIPS_FALLBACK"] = "none"
+    try:
+        assert np.isnan(M.lpips(a, b))
+        assert M.lpips_variant() == "none"
+    finally:
+        os.environ.pop("ISOGS_LPIPS_FALLBACK", None)
