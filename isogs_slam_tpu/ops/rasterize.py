@@ -561,9 +561,12 @@ def render(means_cam: jnp.ndarray,
 
 
 # table columns for the fused 6-feature render: u, v, A, B, C, op,
-# r, g, b, z, ones, z^2
-TRACKING_LIVE_COLS = (0, 1, 2, 3, 4, 9, 11)   # pose reaches u,v,conic,z,z^2
-MAPPING_LIVE_COLS = tuple(i for i in range(12) if i != 10)  # ones-col dead
+# r, g, b, z, ones, z^2. The ones-column (10, silhouette) is a constant
+# and the z^2 column (11) only feeds the stop-gradient'ed depth
+# uncertainty (losses._photometric_terms), so neither ever carries a live
+# gradient — dropping them from the backward scatter is exact.
+TRACKING_LIVE_COLS = (0, 1, 2, 3, 4, 9)       # pose reaches u,v,conic,z
+MAPPING_LIVE_COLS = tuple(i for i in range(12) if i not in (10, 11))
 
 
 def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,

@@ -46,6 +46,12 @@ def inject_defaults(config: dict) -> dict:
     config["raster"].setdefault("isect_per_gaussian", 4.0)
     config["raster"].setdefault("tile_chunk", 256)
     config.setdefault("capacity_granule", 65536)
+    # multi-chip mapping: "parallel": {"map_views": N} runs each mapping
+    # step as N concurrent keyframe views sharded over an N-device mesh
+    # (parallel/sharded.make_multiview_map_phase). 0 = serial reference
+    # semantics (one view per Adam step).
+    config.setdefault("parallel", {})
+    config["parallel"].setdefault("map_views", 0)
     # mapping loss weight defaults for the IsoGS terms (splatam.py:733-739)
     mw = config.get("mapping", {}).get("loss_weights", {})
     mw.setdefault("flat", 50.0)

@@ -273,6 +273,20 @@ class SLAM:
         self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
                       "mapping_iter_time": [], "mapping_frame_time": []}
         self._compact_every = cfg.get("compact_every", 50)
+        # multi-chip mapping over a view mesh (config["parallel"]["map_views"])
+        self._map_views = int(cfg.get("parallel", {}).get("map_views", 0))
+        self._mv_phase = None
+        if self._map_views > 1:
+            from ..parallel.sharded import make_mesh, make_multiview_map_phase
+            n_dev = len(jax.devices())
+            if self._map_views > n_dev:
+                print(f"[parallel] map_views {self._map_views} > "
+                      f"{n_dev} devices; clamping")
+                self._map_views = n_dev
+            self._mv_mesh = make_mesh(self._map_views)
+            self._mv_phase = make_multiview_map_phase(
+                self._mv_mesh, self.cam, self.rcfg, self.lcfg_map,
+                self.mcfg)
         # cross-frame tracking tile-list cache; invalidated on every map
         # edit (densify / mapping / compaction / growth)
         self._track_bins = (BinningReuse(
@@ -463,6 +477,9 @@ class SLAM:
         # Gaussians), so never-sampled window slots would be pure waste.
         # The compact width is bucketed (multiple of 4) so the number of
         # distinct jit programs stays small.
+        if self._mv_phase is not None:
+            return self._map_multiview(slots, num_iters)
+
         rand = self.rng.randint(0, len(slots), size=num_iters)
         uniq, iter_local = np.unique(rand, return_inverse=True)
         comp_slots = [slots[int(u)] for u in uniq]
@@ -481,6 +498,35 @@ class SLAM:
             self.state, kf_colors, kf_depths, kf_quats,
             kf_trans, iter_slots, keys, self.cam, self.rcfg,
             self.lcfg_map, self.mcfg)
+        return log
+
+    def _map_multiview(self, slots: list, num_iters: int):
+        """Multi-chip mapping phase: B keyframe views per Adam step,
+        sharded over the view mesh (parallel/sharded.py). num_iters is
+        interpreted as total view-renders, so one phase does
+        ceil(num_iters / B) lower-variance steps at ~1/B wall-clock."""
+        B = self._map_views
+        n_steps = -(-num_iters // B)
+        Wb = max(4, -(-len(slots) // 4) * 4)
+        pad_slots = slots + [slots[0]] * (Wb - len(slots))
+        sel = jnp.asarray(np.array(pad_slots, np.int32))
+        kf_colors = jnp.take(self.kf.colors, sel, axis=0)
+        kf_depths = jnp.take(self.kf.depths, sel, axis=0)
+        kf_quats = jnp.take(self.kf.quats, sel, axis=0)
+        kf_trans = jnp.take(self.kf.trans, sel, axis=0)
+
+        step_slots = np.empty((n_steps, B), np.int32)
+        for s in range(n_steps):
+            if len(slots) >= B:
+                step_slots[s] = self.rng.permutation(len(slots))[:B]
+            else:
+                step_slots[s] = self.rng.randint(0, len(slots), size=B)
+        keys = jax.random.split(self._next_key(),
+                                n_steps * B).reshape(n_steps, B, -1)
+        self._map_changed()
+        self.state, log = self._mv_phase(
+            self.state, kf_colors, kf_depths, kf_quats, kf_trans,
+            jnp.asarray(step_slots), keys)
         return log
 
     # ------------------------------------------------------------- run

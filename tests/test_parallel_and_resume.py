@@ -104,3 +104,28 @@ def test_checkpoint_auto_resume(tmp_path):
     # and the run completes from the resume point
     slam2.run()
     assert np.isfinite(slam2.cam_trans).all()
+
+
+@pytest.mark.slow
+def test_multiview_map_phase_e2e(tmp_path):
+    """SLAM with config["parallel"]["map_views"]=8: mapping runs as
+    2-step x 8-view sharded phases on the virtual mesh and still converges
+    (finite losses, reasonable metrics)."""
+    from test_e2e_slam import _tiny_config
+    from isogs_slam_tpu.eval.eval_helpers import eval_sequence
+    from isogs_slam_tpu.slam.pipeline import SLAM
+
+    cfg = _tiny_config(tmp_path)
+    cfg["run_name"] = "e2e_mv"
+    cfg["parallel"]["map_views"] = 8
+    cfg["mapping"]["num_iters"] = 16     # -> 2 multiview steps per phase
+    slam = SLAM(cfg)
+    assert slam._mv_phase is not None
+    slam.run()
+    results = eval_sequence(slam.dataset, slam, slam.eval_dir,
+                            sil_thres=0.5, mapping_iters=16,
+                            add_new_gaussians=True, eval_every=2,
+                            make_plots=False)
+    assert np.isfinite(results["Final Average ATE RMSE (cm)"])
+    assert results["Average PSNR"] > 15.0
+    assert results["Average Depth L1 (cm)"] < 40.0
