@@ -46,7 +46,7 @@ def _loss(im, depth, gt_im, gt_d):
 
 def test_tracking_pose_grads_unchanged():
     cam, params, alive, gt_im, gt_d = _setup()
-    rcfg = RasterConfig(backend="xla")
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
     p = jax.tree.map(jax.lax.stop_gradient, params)
 
     def loss_fn(pose, live):
@@ -69,7 +69,7 @@ def test_tracking_pose_grads_unchanged():
 
 def test_mapping_param_grads_unchanged():
     cam, params, alive, gt_im, gt_d = _setup(seed=1)
-    rcfg = RasterConfig(backend="xla")
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
     quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
     trans = jnp.zeros(3)
 
@@ -87,3 +87,33 @@ def test_mapping_param_grads_unchanged():
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_mask)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_scatter_grads_close():
+    """grad_scatter_bf16=True (the default) rounds per-tile gradient
+    contributions to bfloat16; the total gradient must stay within ~1%
+    relative l2 of the f32-scatter gradient."""
+    cam, params, alive, gt_im, gt_d = _setup(seed=2)
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    trans = jnp.zeros(3)
+
+    def loss_fn(pp, rcfg):
+        mc, qc = transform_to_frame(pp.means3d, pp.unnorm_rotations, quat,
+                                    trans, gaussians_grad=True,
+                                    camera_grad=False)
+        im, depth, _, _, _ = render_rgbd_sil(
+            mc, qc, pp.log_scales, pp.logit_opacities, pp.rgb_colors,
+            alive, cam, rcfg, live_grad_cols=MAPPING_LIVE_COLS)
+        return _loss(im, depth, gt_im, gt_d)
+
+    g32 = jax.grad(lambda pp: loss_fn(
+        pp, RasterConfig(backend="xla", grad_scatter_bf16=False)))(params)
+    g16 = jax.grad(lambda pp: loss_fn(
+        pp, RasterConfig(backend="xla", grad_scatter_bf16=True)))(params)
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        # floor the denominator: identically-zero leaves (e.g. rotation
+        # grads of isotropic Gaussians) are pure float noise
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert rel < 0.01, rel

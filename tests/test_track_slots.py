@@ -56,7 +56,7 @@ def _bin(cam, params, alive, quat, trans, rcfg, margin=8.0):
 
 def test_slot_render_matches_gaussian_render():
     cam, params, alive, _, _ = _setup()
-    rcfg = RasterConfig(backend="xla")
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
     quat = jnp.asarray([1.0, 0.0, 0.03, 0.0])
     trans = jnp.asarray([0.02, -0.01, 0.0])
     binning = _bin(cam, params, alive, quat, trans, rcfg)
@@ -83,7 +83,7 @@ def test_slot_render_matches_gaussian_render():
 
 def test_slot_loss_and_pose_grads_match():
     cam, params, alive, gt_im, gt_d = _setup(seed=3)
-    rcfg = RasterConfig(backend="xla")
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
     lcfg = LossConfig(tracking=True, use_sil_for_loss=True, sil_thres=0.5,
                       use_l1=True, ignore_outlier_depth_loss=False,
                       w_im=0.5, w_depth=1.0, calc_iso=False)
