@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.transforms import normalize, quat_to_rotmat
+from ..utils.transforms import normalize
 
 
 def flat_loss(log_scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
@@ -182,19 +182,30 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
             d2, nbr = knn_blocked(queries_sg, means_sg, alive, k, knn_block)
 
     # Neighbor data (gathered; Sigma^{-1} built only on the [Q,K] set
-    # instead of all N as the reference does — same math, less memory)
+    # instead of all N as the reference does — same math, less memory).
+    # Everything below is component-wise on [Q,K] vectors: [Q,K,3,3]
+    # rotation tensors have a catastrophic TPU layout (3-lane minor dims
+    # padded to 128), same reason as rasterize._ewa_core.
     n_means = means[nbr]                                           # [Q,K,3]
     n_quats = normalize(unnorm_rotations[nbr])                     # [Q,K,4]
     n_scales = jnp.maximum(jnp.exp(log_scales[nbr]), 1e-5)         # [Q,K,3]
     n_op = jax.nn.sigmoid(logit_opacities[nbr][..., 0])            # [Q,K]
     n_valid = alive[nbr] & jnp.isfinite(d2)                        # [Q,K]
 
-    R = quat_to_rotmat(n_quats)                                    # [Q,K,3,3]
     s_inv_sq = 1.0 / (n_scales ** 2 + 1e-8)                        # [Q,K,3]
     delta = queries[:, None, :] - n_means                          # [Q,K,3]
-    # d^T R S^-2 R^T d = sum_axis s_inv_sq * (R^T d)^2
-    rtd = jnp.einsum("qkij,qkj->qki", jnp.swapaxes(R, -1, -2), delta)
-    quad = jnp.sum(s_inv_sq * rtd * rtd, axis=-1)                  # [Q,K]
+    dx, dy, dz = delta[..., 0], delta[..., 1], delta[..., 2]
+    r, x, y, z = (n_quats[..., 0], n_quats[..., 1], n_quats[..., 2],
+                  n_quats[..., 3])
+    # columns of R (= rows of R^T): (R^T d)_i = R_ji d_j
+    c0 = ((1 - 2 * (y * y + z * z)) * dx + 2 * (x * y + r * z) * dy
+          + 2 * (x * z - r * y) * dz)
+    c1 = (2 * (x * y - r * z) * dx + (1 - 2 * (x * x + z * z)) * dy
+          + 2 * (y * z + r * x) * dz)
+    c2 = (2 * (x * z + r * y) * dx + 2 * (y * z - r * x) * dy
+          + (1 - 2 * (x * x + y * y)) * dz)
+    quad = (s_inv_sq[..., 0] * c0 * c0 + s_inv_sq[..., 1] * c1 * c1
+            + s_inv_sq[..., 2] * c2 * c2)                          # [Q,K]
     dens = jnp.where(n_valid, n_op * jnp.exp(-0.5 * quad), 0.0)
     density = jnp.sum(dens, axis=-1)                               # [Q]
 
