@@ -161,9 +161,9 @@ def main():
                 jnp.int32)
             keys = jax.random.split(k2, map_iters)
             log(f"frame {i}: mapping")
-            state, mlog = map_frame(state, kf_colors, kf_depths, kf_quats,
-                                    kf_trans, iter_slots, keys, cam, rcfg,
-                                    lcfg_map, mcfg)
+            state, mlog, _ = map_frame(state, kf_colors, kf_depths,
+                                       kf_quats, kf_trans, iter_slots,
+                                       keys, cam, rcfg, lcfg_map, mcfg)
             jax.block_until_ready(mlog)
             if track_bins is not None:
                 track_bins.invalidate()

@@ -246,6 +246,12 @@ class Binning(NamedTuple):
     tile_count: jnp.ndarray   # [num_tiles] int32 valid slots (<= K)
     n_isect: jnp.ndarray      # [] int32 total intersections generated
     n_overflow: jnp.ndarray   # [] int32 intersections dropped (isect or K cap)
+    # margin-FREE (true-footprint) intersections dropped by the per-tile
+    # K cap. Margin-only candidates rank after true ones, so dropping them
+    # is by design; dropping TRUE candidates deviates from the reference
+    # (which composites every intersection) — this counter makes that
+    # deviation observable (see RasterConfig.max_per_tile).
+    n_true_overflow: jnp.ndarray  # [] int32
 
 
 def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
@@ -328,7 +334,12 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
                               side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_key, (tids + 1) << db,
                             side="left").astype(jnp.int32)
+    # true (margin-free) candidates sort before the margin_bit block
+    ends_true = jnp.searchsorted(
+        sorted_key, (tids << db) | (jnp.uint32(1) << dqb),
+        side="left").astype(jnp.int32)
     full_count = ends - starts
+    count_true = ends_true - starts
     tile_count = jnp.minimum(full_count, K)
 
     slots = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -336,8 +347,10 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     tile_gauss = sorted_gauss[slots]               # [num_tiles, K]
 
     n_overflow = jnp.maximum(total - M, 0) + jnp.sum(full_count - tile_count)
+    n_true_overflow = jnp.sum(jnp.maximum(count_true - K, 0))
     return Binning(tile_gauss=tile_gauss, tile_count=tile_count,
-                   n_isect=total, n_overflow=n_overflow)
+                   n_isect=total, n_overflow=n_overflow,
+                   n_true_overflow=n_true_overflow)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -153,6 +153,8 @@ def make_multiview_map_phase(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
             return bin_gaussians(proj, cam, rcfg)
 
         bins = shard_views(jax.vmap(bin_slot)(kf_quats, kf_transl))
+        bin_stats = jnp.stack([jnp.sum(bins.n_true_overflow),
+                               jnp.sum(bins.n_isect)])
 
         iso_grid = None
         iso_pool = None
@@ -276,6 +278,6 @@ def make_multiview_map_phase(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
         its = jnp.arange(n_steps, dtype=jnp.int32)
         (state, _), loss_log = jax.lax.scan(
             body, (state, opt0), (step_slots, keys, its))
-        return state, loss_log
+        return state, loss_log, bin_stats
 
     return jax.jit(phase, donate_argnums=(0,))

@@ -93,7 +93,9 @@ def map_frame(state: MapState,
               keys: jnp.ndarray,           # [num_iters] PRNG keys
               cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
               mcfg: MappingConfig):
-    """Returns (new MapState, loss_log [num_iters, N_LOG]).
+    """Returns (new MapState, loss_log [num_iters, N_LOG], bin_stats [2] =
+    [true-candidate intersections dropped by the per-tile cap, total
+    intersections] summed over the phase's keyframe slots).
 
     Note on use_densification: tile lists and the iso hash grid are frozen
     per phase, so rows cloned/split mid-phase start receiving render
@@ -121,6 +123,10 @@ def map_frame(state: MapState,
         return bin_gaussians(proj, cam, rcfg)
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
+    # true-candidate truncation observability (Binning.n_true_overflow):
+    # [sum of true-footprint intersections dropped by the K cap, total]
+    bin_stats = jnp.stack([jnp.sum(bins.n_true_overflow),
+                           jnp.sum(bins.n_isect)])
 
     # hash grid for the iso loss: built once per phase, reused every
     # iteration (Gaussian drift within a phase << cell size)
@@ -217,7 +223,7 @@ def map_frame(state: MapState,
     its = jnp.arange(mcfg.num_iters, dtype=jnp.int32)
     (state, _), loss_log = jax.lax.scan(
         body, (state, opt0), (iter_slots, keys, its))
-    return state, loss_log
+    return state, loss_log, bin_stats
 
 
 def estimated_pose(cam_rots, cam_trans, time_idx):

@@ -494,11 +494,44 @@ class SLAM:
         iter_slots = jnp.asarray(iter_local.astype(np.int32))
         keys = jax.random.split(self._next_key(), num_iters)
         self._map_changed()
-        self.state, log = map_frame(
+        self.state, log, bin_stats = map_frame(
             self.state, kf_colors, kf_depths, kf_quats,
             kf_trans, iter_slots, keys, self.cam, self.rcfg,
             self.lcfg_map, self.mcfg)
+        self._check_tile_cap(bin_stats)
         return log
+
+    def _check_tile_cap(self, bin_stats):
+        """The reference composites EVERY intersection; our per-tile top-K
+        keeps the front-most max_per_tile. Margin-only candidates rank
+        last (dropping them is by design) but dropped TRUE candidates are
+        a real deviation — warn, and optionally escalate the cap
+        (config raster.adaptive_max_per_tile)."""
+        dropped, total = (int(x) for x in np.asarray(bin_stats))
+        frac = dropped / max(total, 1)
+        if frac <= 0.005:
+            return
+        K = self.rcfg.max_per_tile
+        if (self.config["raster"].get("adaptive_max_per_tile", False)
+                and K < 1024):
+            new_k = min(1024, K + 256)
+            print(f"[raster] {frac:.1%} true candidates dropped at "
+                  f"max_per_tile={K}; escalating to {new_k} "
+                  f"(recompiles mapping programs)")
+            self.rcfg = self.rcfg._replace(max_per_tile=new_k)
+            if self._mv_phase is not None:
+                from ..parallel.sharded import make_multiview_map_phase
+                self._mv_phase = make_multiview_map_phase(
+                    self._mv_mesh, self.cam, self.rcfg, self.lcfg_map,
+                    self.mcfg)
+        elif not getattr(self, "_warned_tile_cap", False):
+            self._warned_tile_cap = True
+            print(f"[raster] WARNING: {frac:.1%} of true-footprint "
+                  f"intersections exceed max_per_tile={K} and are not "
+                  f"composited (the reference composites all). Raise "
+                  f"raster.max_per_tile or set "
+                  f"raster.adaptive_max_per_tile=True if eval metrics "
+                  f"lag the reference.")
 
     def _map_multiview(self, slots: list, num_iters: int):
         """Multi-chip mapping phase: B keyframe views per Adam step,
@@ -524,9 +557,10 @@ class SLAM:
         keys = jax.random.split(self._next_key(),
                                 n_steps * B).reshape(n_steps, B, -1)
         self._map_changed()
-        self.state, log = self._mv_phase(
+        self.state, log, bin_stats = self._mv_phase(
             self.state, kf_colors, kf_depths, kf_quats, kf_trans,
             jnp.asarray(step_slots), keys)
+        self._check_tile_cap(bin_stats)
         return log
 
     # ------------------------------------------------------------- run

@@ -232,3 +232,35 @@ def test_pose_gradient_through_transform():
         t0 = jnp.asarray([0.01, -0.01, 0.02], jnp.float64)
         _fd_check(lambda q, t: loss(q, t), [q0, t0], probes_per_arg=4,
                   eps=1e-7, rel_tol=1e-3, abs_tol=1e-5, max_boundary_hits=1)
+
+
+def test_true_overflow_counter():
+    """Binning.n_true_overflow counts margin-free intersections dropped by
+    the per-tile cap: zero when K is ample, positive when K strangles a
+    dense tile, and margin-only candidates never count."""
+    import jax.numpy as jnp
+    from isogs_slam_tpu.core.camera import Camera
+    from isogs_slam_tpu.ops.rasterize import (RasterConfig, bin_gaussians,
+                                              project_gaussians)
+    rng = np.random.default_rng(0)
+    n = 64
+    cam = Camera(width=32, height=32, fx=32.0, fy=32.0, cx=15.5, cy=15.5)
+    # all Gaussians piled on the central tile
+    pts = np.concatenate([rng.normal(0, 0.02, (n, 2)),
+                          rng.uniform(1.9, 2.1, (n, 1))], axis=1)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    ls = np.full((n, 3), np.log(0.01), np.float32)
+    alive = jnp.ones(n, bool)
+    proj = project_gaussians(jnp.asarray(pts, jnp.float32),
+                             jnp.asarray(quats), jnp.asarray(ls), alive,
+                             cam, margin_px=0.0)
+    b_small = bin_gaussians(proj, cam, RasterConfig(max_per_tile=16))
+    b_large = bin_gaussians(proj, cam, RasterConfig(max_per_tile=256))
+    assert int(b_small.n_true_overflow) > 0
+    assert int(b_large.n_true_overflow) == 0
+    # margin-only candidates are excluded from the true counter
+    proj_m = project_gaussians(jnp.asarray(pts, jnp.float32),
+                               jnp.asarray(quats), jnp.asarray(ls), alive,
+                               cam, margin_px=64.0)
+    b_margin = bin_gaussians(proj_m, cam, RasterConfig(max_per_tile=256))
+    assert int(b_margin.n_true_overflow) == 0
