@@ -42,11 +42,16 @@ def main(argv=None):
 
     if not args.no_eval:
         from ..eval.eval_helpers import eval_sequence
+        # with --end-at, only frames the run actually processed are
+        # evaluated (untracked poses beyond it are meaningless)
+        n_eval = (min(args.end_at + 1, slam.num_frames)
+                  if args.end_at is not None else None)
         eval_sequence(slam.dataset, slam, slam.eval_dir,
                       sil_thres=config["mapping"]["sil_thres"],
                       mapping_iters=config["mapping"]["num_iters"],
                       add_new_gaussians=config["mapping"]["add_new_gaussians"],
-                      eval_every=config.get("eval_every", 1))
+                      eval_every=config.get("eval_every", 1),
+                      num_frames=n_eval)
     return slam
 
 
