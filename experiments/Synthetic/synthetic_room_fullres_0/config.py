@@ -51,7 +51,11 @@ config = dict(
     tracking=dict(
         use_gt_poses=False,
         forward_prop=True,
-        num_iters=10,
+        # the synthetic orbit moves ~10-15 px/frame — harsher than
+        # Replica (~5 px at fx=600); per the reference's own per-dataset
+        # pattern (TUM: 200 iters vs Replica: 10) tracking gets more
+        # iterations + lr here
+        num_iters=40,
         use_sil_for_loss=True,
         sil_thres=0.90,   # see smoke.py note on single-sheet silhouettes
         use_l1=True,
@@ -59,7 +63,7 @@ config = dict(
         loss_weights=dict(im=0.5, depth=1.0),
         lrs=dict(means3D=0.0, rgb_colors=0.0, unnorm_rotations=0.0,
                  logit_opacities=0.0, log_scales=0.0,
-                 cam_unnorm_rots=0.0004, cam_trans=0.002),
+                 cam_unnorm_rots=0.001, cam_trans=0.004),
     ),
     mapping=dict(
         num_iters=40,

@@ -83,3 +83,29 @@ def test_slam_end_to_end_metrics(tmp_path):
     assert depth_l1_cm < 40.0, results
     # tracking must actually move poses (frozen-pose regression)
     assert np.abs(slam.cam_trans[:, 1:slam.num_frames]).max() > 1e-4
+
+
+def test_adaptive_tile_cap_escalation(tmp_path):
+    """_check_tile_cap: warns at >0.5% true-candidate drops and, with
+    raster.adaptive_max_per_tile=True, escalates the cap 512->768->1024."""
+    import jax.numpy as jnp
+    cfg = _tiny_config(tmp_path)
+    cfg["raster"]["adaptive_max_per_tile"] = True
+    cfg["raster"]["max_per_tile"] = 512
+    slam = SLAM(cfg)
+    K0 = slam.rcfg.max_per_tile
+    slam._check_tile_cap(jnp.asarray([0, 1000]))      # 0% -> no change
+    assert slam.rcfg.max_per_tile == K0
+    slam._check_tile_cap(jnp.asarray([100, 1000]))    # 10% -> escalate
+    assert slam.rcfg.max_per_tile == min(1024, K0 + 256)
+    slam._check_tile_cap(jnp.asarray([100, 1000]))
+    slam._check_tile_cap(jnp.asarray([100, 1000]))
+    assert slam.rcfg.max_per_tile == 1024             # capped
+
+    cfg2 = _tiny_config(tmp_path)
+    cfg2["run_name"] = "e2e_warn"
+    slam2 = SLAM(cfg2)                                # adaptive off
+    K = slam2.rcfg.max_per_tile
+    slam2._check_tile_cap(jnp.asarray([100, 1000]))
+    assert slam2.rcfg.max_per_tile == K               # warns only
+    assert slam2._warned_tile_cap
