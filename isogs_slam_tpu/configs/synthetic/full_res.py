@@ -57,7 +57,11 @@ config = dict(
         # iterations + lr here
         num_iters=40,
         use_sil_for_loss=True,
-        sil_thres=0.90,   # see smoke.py note on single-sheet silhouettes
+        # single-sheet synthetic walls: the iso density target pulls the
+        # rendered silhouette toward ~0.9, so a 0.9 threshold leaves the
+        # mask half-open and hovering at the decision boundary; 0.5 keeps
+        # the masked-tracking path exercised with stable coverage
+        sil_thres=0.5,
         use_l1=True,
         ignore_outlier_depth_loss=False,
         loss_weights=dict(im=0.5, depth=1.0),

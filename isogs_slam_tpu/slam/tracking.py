@@ -58,6 +58,15 @@ class TrackingConfig(NamedTuple):
     # slow-motion sequences (measured: no gain on the bench trajectory).
     reuse_binning: bool = False
     cross_frame_margin_px: float = 16.0
+    # The tracking loss is a masked SUM whose silhouette mask depends on
+    # the pose: a pose that pushes the render off the masked region
+    # zeroes the loss — a degenerate minimum the reference never reaches
+    # (its silhouette sits at ~1.0, ours is pulled toward the threshold
+    # by the iso density target). Normalizing the best-candidate
+    # comparison by mask coverage removes the degenerate attractor while
+    # matching the reference bit-for-bit whenever the mask is stable
+    # (constant scaling; gradients are untouched either way).
+    mask_norm_candidate: bool = True
 
 
 class TrackResult(NamedTuple):
@@ -239,10 +248,16 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         (loss, out), grads = grad_fn(c.pose)
         new_pose, new_opt = optim.step(c.pose, grads, c.opt, lrs,
                                        eps=tcfg.eps)
-        improved = loss < c.min_loss
+        if tcfg.mask_norm_candidate:
+            # per-masked-pixel loss: a candidate that merely shrank the
+            # silhouette mask does not look "better" (see TrackingConfig)
+            cand_metric = loss / jnp.maximum(out.mask_frac, 1e-6)
+        else:
+            cand_metric = loss
+        improved = cand_metric < c.min_loss
         best_pose = jax.tree.map(
             lambda b, n: jnp.where(improved, n, b), c.best_pose, new_pose)
-        min_loss = jnp.minimum(loss, c.min_loss)
+        min_loss = jnp.minimum(cand_metric, c.min_loss)
         log = c.log.at[c.it].set(jnp.stack(
             [out.loss, out.im, out.depth, out.flat, out.iso,
              out.mean_density, out.mask_frac]))

@@ -27,7 +27,8 @@ def _setup(n=1200, B=8):
                                            jnp.full((n,), 4e-4)),
                      jnp.ones(n, bool), 0)
     cam = Camera(width=64, height=48, fx=48., fy=48., cx=31.5, cy=23.5)
-    rcfg = RasterConfig(max_per_tile=128, tile_chunk=12, backend="xla")
+    rcfg = RasterConfig(max_per_tile=128, tile_chunk=12, backend="xla",
+                        grad_scatter_bf16=False)
     lcfg = LossConfig(tracking=False, use_sil_for_loss=False, sil_thres=0.5,
                       use_l1=True, ignore_outlier_depth_loss=False,
                       w_im=0.5, w_depth=1.0, w_flat=50.0, w_iso=2.0,
