@@ -41,6 +41,10 @@ config = dict(
         dataset_name="synthetic",
         basedir="",
         sequence=scene_name,
+        # Replica-like pixel motion (~3 px/frame at fx=900): photometric
+        # tracking needs inter-frame motion inside the ~2-3 px loss basin
+        # (see datasets/synthetic.py traj_step note)
+        synthetic_traj_step=0.004,
         desired_image_height=680,
         desired_image_width=1200,
         start=0,
@@ -56,6 +60,8 @@ config = dict(
         # pattern (TUM: 200 iters vs Replica: 10) tracking gets more
         # iterations + lr here
         num_iters=40,
+        # anneal the pose-optimizer bounce (see TrackingConfig.lr_decay)
+        lr_decay=0.92,
         use_sil_for_loss=True,
         # single-sheet synthetic walls: the iso density target pulls the
         # rendered silhouette toward ~0.9, so a 0.9 threshold leaves the

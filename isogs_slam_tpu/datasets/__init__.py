@@ -21,7 +21,8 @@ def get_dataset(config_dict: dict, basedir: str, sequence: str, **kwargs):
             height=h, width=w, seed=kwargs.get("seed", 0),
             # scene detail scales with resolution so GT images keep
             # texture at any render size (~2500/wall at 120x160)
-            n_per_wall=max(2500, (h * w) // 8))
+            n_per_wall=max(2500, (h * w) // 8),
+            traj_step=config_dict.get("synthetic_traj_step", 0.012))
     if name in ("icl",):
         from .icl import ICLDataset
         return ICLDataset(config_dict, basedir, sequence, **kwargs)

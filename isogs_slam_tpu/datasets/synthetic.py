@@ -82,7 +82,8 @@ class SyntheticDataset:
     """RGBDDataset-compatible synthetic sequence."""
 
     def __init__(self, num_frames: int = 20, height: int = 120,
-                 width: int = 160, seed: int = 0, n_per_wall: int = 2500):
+                 width: int = 160, seed: int = 0, n_per_wall: int = 2500,
+                 traj_step: float = 0.012):
         rng = np.random.default_rng(seed)
         self.height, self.width = height, width
         f = 0.75 * width
@@ -90,7 +91,12 @@ class SyntheticDataset:
                           cx=width / 2 - 0.5, cy=height / 2 - 0.5)
         (self.pts, self.cols, self.quats, self.log_scales,
          self.logit_op) = make_room_gaussians(rng, n_per_wall)
-        self.poses = make_trajectory(num_frames)
+        # traj_step meters/frame. Photometric tracking only converges when
+        # inter-frame motion stays within the loss basin (~2-3 px for
+        # sharp content): 0.012 is ~1.4 px/frame at 160px width but ~9 px
+        # at 1200px — full-res validation configs must pass a smaller step
+        # (data.synthetic_traj_step) to emulate Replica-like motion.
+        self.poses = make_trajectory(num_frames, step=traj_step)
         self.num_imgs = num_frames
         self.png_depth_scale = 6553.5
         self._cache = {}

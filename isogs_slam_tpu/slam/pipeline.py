@@ -83,6 +83,8 @@ def _dataset_from_config(config, height, width):
     dc = config["data"]
     if "gradslam_data_cfg" not in dc:
         data_cfg = {"dataset_name": dc["dataset_name"]}
+        if "synthetic_traj_step" in dc:
+            data_cfg["synthetic_traj_step"] = dc["synthetic_traj_step"]
     else:
         data_cfg = load_dataset_config(dc["gradslam_data_cfg"])
     return get_dataset(
@@ -174,6 +176,7 @@ def _tracking_cfg(config) -> TrackingConfig:
         lr_trans=t["lrs"]["cam_trans"],
         use_depth_loss_thres=t.get("use_depth_loss_thres", False),
         depth_loss_thres=t.get("depth_loss_thres", 100000),
+        lr_decay=t.get("lr_decay", 1.0),
         bin_margin_px=t.get("bin_margin_px", 8.0),
         rebin_every_iter=t.get("rebin_every_iter", False),
         reuse_binning=t.get("reuse_binning", True),
