@@ -593,15 +593,41 @@ class SLAM:
                   f"{end_frame}).")
             return {}
 
+        # overlap host-side frame decode with device work
+        # (data.prefetch_depth frames of lookahead; 0 disables)
+        depth_pf = cfg["data"].get("prefetch_depth", 4)
+        prefetchers = []
+        if depth_pf > 0:
+            from ..datasets.prefetch import Prefetcher
+            main_ds = Prefetcher(self.dataset, depth_pf)
+            prefetchers.append(main_ds)
+            track_ds = (Prefetcher(self.tracking_dataset, depth_pf)
+                        if self.tracking_dataset is not None else None)
+            dens_ds = (Prefetcher(self.densify_dataset, depth_pf)
+                       if self.densify_dataset is not None else None)
+            prefetchers += [p for p in (track_ds, dens_ds) if p is not None]
+        else:
+            main_ds = self.dataset
+            track_ds = self.tracking_dataset
+            dens_ds = self.densify_dataset
+        try:
+            return self._frame_loop(cfg, metrics, start_frame, end_frame,
+                                    main_ds, track_ds, dens_ds)
+        finally:
+            for p in prefetchers:
+                p.close()
+
+    def _frame_loop(self, cfg, metrics, start_frame, end_frame,
+                    main_ds, track_ds, dens_ds) -> dict:
         for time_idx in range(start_frame, end_frame + 1):
-            color, depth, _, gt_pose = self.dataset[time_idx]
+            color, depth, _, gt_pose = main_ds[time_idx]
             gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
             self.gt_w2c_all.append(gt_w2c)
             im, d = _to_chw_frame(color, depth)
 
             if time_idx == 0 and self.state is None:
-                if self.densify_dataset is not None:
-                    dcol, ddep, _, _ = self.densify_dataset[0]
+                if dens_ds is not None:
+                    dcol, ddep, _, _ = dens_ds[0]
                     dim, dd = _to_chw_frame(dcol, ddep)
                     self.initialize_first_frame_from(dim, dd)
                 else:
@@ -609,8 +635,8 @@ class SLAM:
 
             # tracking
             t0 = time.time()
-            if self.tracking_dataset is not None and time_idx > 0:
-                tcol, tdep, _, _ = self.tracking_dataset[time_idx]
+            if track_ds is not None and time_idx > 0:
+                tcol, tdep, _, _ = track_ds[time_idx]
                 tim, td = _to_chw_frame(tcol, tdep)
             else:
                 tim, td = im, d
@@ -636,8 +662,8 @@ class SLAM:
             # densification + mapping
             if time_idx == 0 or (time_idx + 1) % cfg["map_every"] == 0:
                 if cfg["mapping"]["add_new_gaussians"] and time_idx > 0:
-                    if self.densify_dataset is not None:
-                        dcol, ddep, _, _ = self.densify_dataset[time_idx]
+                    if dens_ds is not None:
+                        dcol, ddep, _, _ = dens_ds[time_idx]
                         dim, dd = _to_chw_frame(dcol, ddep)
                     else:
                         dim, dd = im, d
