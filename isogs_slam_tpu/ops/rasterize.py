@@ -74,6 +74,10 @@ class RasterConfig(NamedTuple):
     # _gather_rows_partial_grad); ~0.4% contribution rounding, well under
     # the mapping loss's one-random-keyframe sampling noise
     grad_scatter_bf16: bool = True
+    # backward d_table aggregation: "auto" = expansion-order unique
+    # scatter + Pallas segment reduce on TPU (needs emit_exp binning),
+    # XLA scatter-add elsewhere; "segreduce" / "scatter" force
+    bwd_mode: str = "auto"
 
     def max_isect(self, num_gaussians: int) -> int:
         m = int(num_gaussians * self.isect_per_gaussian)
@@ -84,6 +88,12 @@ class RasterConfig(NamedTuple):
         if self.backend != "auto":
             return self.backend
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def resolve_bwd_mode(self) -> str:
+        if self.bwd_mode != "auto":
+            return self.bwd_mode
+        return ("segreduce" if self.resolve_backend() == "pallas"
+                else "scatter")
 
 
 class Projected(NamedTuple):
@@ -252,9 +262,22 @@ class Binning(NamedTuple):
     # (which composites every intersection) — this counter makes that
     # deviation observable (see RasterConfig.max_per_tile).
     n_true_overflow: jnp.ndarray  # [] int32
+    # expansion-order backward support (emit_exp=True; see
+    # _gather_rows_segreduce). The expansion array (the pre-sort
+    # (gaussian, tile) entries, gaussian-major by construction of
+    # jnp.repeat) gives the one layout in which per-gaussian gradient
+    # segments are CONTIGUOUS without any extra sort:
+    #   slot_exp_pos [num_tiles, K] int32 — expansion position of each
+    #     tile slot (sentinel M for padding slots -> dropped), i.e. the
+    #     sort permutation restricted to the slot windows;
+    #   exp_offsets [N+1] int32 — exclusive prefix sum of per-gaussian
+    #     expansion counts (segment boundaries), clamped to M.
+    slot_exp_pos: jnp.ndarray | None = None
+    exp_offsets: jnp.ndarray | None = None
 
 
-def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
+def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
+                  emit_exp: bool = False) -> Binning:
     """Depth-ordered per-tile Gaussian lists with static shapes.
 
     Replaces the CUDA `intersect_tile`/`intersect_offset` duplication + 64-bit
@@ -327,7 +350,14 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
     in_range = pos < jnp.minimum(total, M)
     key = jnp.where(in_range, key, jnp.uint32(0xFFFFFFFF))
 
-    sorted_key, sorted_gauss = jax.lax.sort((key, src), num_keys=1)
+    if emit_exp:
+        # carry the expansion position through the sort so the backward
+        # can write per-slot gradients straight back into gaussian-major
+        # (pre-sort) order — a duplicate-free scatter, no dedup sort
+        sorted_key, sorted_gauss, sorted_pos = jax.lax.sort(
+            (key, src, pos), num_keys=1)
+    else:
+        sorted_key, sorted_gauss = jax.lax.sort((key, src), num_keys=1)
 
     tids = jnp.arange(num_tiles, dtype=jnp.uint32)
     starts = jnp.searchsorted(sorted_key, tids << db,
@@ -348,9 +378,23 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig) -> Binning:
 
     n_overflow = jnp.maximum(total - M, 0) + jnp.sum(full_count - tile_count)
     n_true_overflow = jnp.sum(jnp.maximum(count_true - K, 0))
+    slot_exp_pos = exp_offsets = None
+    if emit_exp:
+        # padding slots (k >= count) alias later tiles' sorted entries;
+        # send them to the out-of-bounds sentinel M so the backward's
+        # unique scatter drops them (mode='drop')
+        k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        slot_exp_pos = jnp.where(k_idx < tile_count[:, None],
+                                 sorted_pos[slots], M)
+        # segment boundaries in expansion order; entries beyond the M
+        # capacity were never sorted/rendered (reported as overflow), so
+        # clamp — their (zero) gradient rows don't exist
+        exp_offsets = jnp.minimum(
+            jnp.concatenate([offs, total[None]]), M).astype(jnp.int32)
     return Binning(tile_gauss=tile_gauss, tile_count=tile_count,
                    n_isect=total, n_overflow=n_overflow,
-                   n_true_overflow=n_true_overflow)
+                   n_true_overflow=n_true_overflow,
+                   slot_exp_pos=slot_exp_pos, exp_offsets=exp_offsets)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -400,6 +444,71 @@ def _grpg_bwd(live_cols, scatter_bf16, res, dg):
 
 
 _gather_rows_partial_grad.defvjp(_grpg_fwd, _grpg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _gather_rows_segreduce(table, idx, slot_exp_pos, exp_offsets,
+                           m_cap, live_cols, scatter_bf16, interpret):
+    """table[idx], backward = expansion-order write-back + segment reduce.
+
+    Replaces the XLA scatter-add of _gather_rows_partial_grad (index-serial
+    + dedup sort on TPU) with:
+      (1) a DUPLICATE-FREE scatter of the [T*K, C] cotangent rows into
+          expansion (gaussian-major, pre-sort) positions — padding slots
+          carry the out-of-bounds sentinel m_cap and are dropped;
+      (2) the Pallas contiguous-segment reduction (ops/segreduce.py).
+    Requires binning with emit_exp=True (slot_exp_pos / exp_offsets);
+    m_cap = cfg.max_isect(N) (static).
+    """
+    return table[idx]
+
+
+def _grsr_fwd(table, idx, slot_exp_pos, exp_offsets, m_cap, live_cols,
+              scatter_bf16, interpret):
+    return table[idx], (idx, slot_exp_pos, exp_offsets, table.shape)
+
+
+def _grsr_bwd(m_cap, live_cols, scatter_bf16, interpret, res, dg):
+    from .segreduce import LANES, W, segment_reduce_rows
+    idx, slot_exp_pos, exp_offsets, shape = res
+    n, c = shape
+    cols = list(live_cols) if live_cols is not None else list(range(c))
+    L = len(cols)
+    dsub = dg[..., cols] if L < c else dg                    # [T, K, L]
+    acc_dtype = jnp.bfloat16 if scatter_bf16 else dg.dtype
+    # (1) duplicate-free write-back: real slots map to distinct expansion
+    # positions; padding slots carry sentinel m_cap -> dropped. Rows not
+    # covered by any slot (per-tile K-cap truncation, expansion overflow)
+    # stay zero. + W zero tail keeps the kernel's chunk DMAs in bounds.
+    # Rows are LANE-padded to 128: dynamic-offset DMA windows need
+    # 128-multiple lane dims, and the padding costs bandwidth only (the
+    # index cost that dominates scatters is per ROW).
+    upd = dsub.reshape(-1, L).astype(acc_dtype)
+    upd = jnp.pad(upd, ((0, 0), (0, LANES - L)))
+    d_exp = (jnp.zeros((m_cap + W, LANES), acc_dtype)
+             .at[slot_exp_pos.reshape(-1)]
+             .set(upd, mode="drop", unique_indices=True))
+    # (2) contiguous gaussian-major segments -> [N, L]
+    dtab_sub = segment_reduce_rows(d_exp, exp_offsets, n, L,
+                                   interpret=interpret).astype(dg.dtype)
+    if L == c:
+        dtab = dtab_sub
+    else:
+        zero = jnp.zeros((n,), dg.dtype)
+        out_cols, j = [], 0
+        for col in range(c):
+            if col in cols:
+                out_cols.append(dtab_sub[:, j])
+                j += 1
+            else:
+                out_cols.append(zero)
+        dtab = jnp.stack(out_cols, axis=1)
+    return (dtab, np.zeros(idx.shape, dtype=jax.dtypes.float0),
+            np.zeros(slot_exp_pos.shape, dtype=jax.dtypes.float0),
+            np.zeros(exp_offsets.shape, dtype=jax.dtypes.float0))
+
+
+_gather_rows_segreduce.defvjp(_grsr_fwd, _grsr_bwd)
 
 
 def _composite_chunk(gdata, counts, origins, F: int):
@@ -458,12 +567,17 @@ def _composite_chunk(gdata, counts, origins, F: int):
 
 def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
               binning: Binning, cam: Camera, cfg: RasterConfig,
-              live_grad_cols: tuple | None = None):
-    """Rasterize all tiles -> ([num_tiles, P, F], [num_tiles, P]) tile images.
+              live_grad_cols: tuple | None = None,
+              sq_col: int | None = None):
+    """Rasterize all tiles -> ([num_tiles, P, F(+1)], [num_tiles, P]) tiles.
 
     live_grad_cols: static tuple of table-column indices whose gradients
     survive downstream stop_gradients; when given, the backward scatter
-    covers only those columns (see _gather_rows_partial_grad)."""
+    covers only those columns (see _gather_rows_partial_grad).
+    sq_col: optional feature-column index whose SQUARE is composited as an
+    extra output channel (keeps derived channels like z^2 out of the
+    per-iteration [T*K]-row gather/scatter — they're synthesized on the
+    gathered [T, K] records instead)."""
     F = features.shape[-1]
     num_tiles = cam.num_tiles
     K = cfg.max_per_tile
@@ -471,19 +585,37 @@ def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
     table = jnp.concatenate(
         [proj.u[:, None], proj.v[:, None], proj.conic,
          opacity[:, None], features], axis=-1)                 # [N, 6+F]
-    if live_grad_cols is None:
+    use_segreduce = (cfg.resolve_bwd_mode() == "segreduce"
+                     and binning.slot_exp_pos is not None)
+    if use_segreduce:
+        live = tuple(live_grad_cols) if live_grad_cols is not None else None
+        gdata = _gather_rows_segreduce(
+            table, binning.tile_gauss, binning.slot_exp_pos,
+            binning.exp_offsets, cfg.max_isect(table.shape[0]), live,
+            cfg.grad_scatter_bf16,
+            cfg.resolve_backend() != "pallas")
+    elif live_grad_cols is None:
         gdata = table[binning.tile_gauss]                      # [T, K, 6+F]
     else:
         gdata = _gather_rows_partial_grad(table, binning.tile_gauss,
                                           tuple(live_grad_cols),
                                           cfg.grad_scatter_bf16)
-    return composite_gdata(gdata, binning.tile_count, cam, cfg, F)
+    return composite_gdata(gdata, binning.tile_count, cam, cfg, F,
+                           sq_col=sq_col)
 
 
 def composite_gdata(gdata: jnp.ndarray, counts: jnp.ndarray, cam: Camera,
-                    cfg: RasterConfig, F: int):
+                    cfg: RasterConfig, F: int, sq_col: int | None = None):
     """Backend dispatch for per-tile compositing of already-assembled
-    per-slot records gdata [num_tiles, K, 6+F] (absolute-pixel u, v)."""
+    per-slot records gdata [num_tiles, K, 6+F] (absolute-pixel u, v).
+
+    sq_col: see composite() — appends feat[sq_col]^2 as an extra feature
+    channel on the gathered records (autodiff routes its cotangent back
+    into the source column; downstream stop_gradient makes it free)."""
+    if sq_col is not None:
+        zcol = gdata[..., 6 + sq_col:7 + sq_col]
+        gdata = jnp.concatenate([gdata, zcol * zcol], axis=-1)
+        F = F + 1
     num_tiles = cam.num_tiles
     K = gdata.shape[1]
     tx = jnp.arange(num_tiles, dtype=jnp.int32) % cam.tiles_x
@@ -540,7 +672,8 @@ def render(means_cam: jnp.ndarray,
            cfg: RasterConfig = RasterConfig(),
            means2d_offset: jnp.ndarray | None = None,
            binning: Binning | None = None,
-           live_grad_cols: tuple | None = None):
+           live_grad_cols: tuple | None = None,
+           sq_col: int | None = None):
     """Full differentiable render.
 
     Inputs (all fixed-capacity [N, ...] with `alive` masking the real prefix):
@@ -559,15 +692,17 @@ def render(means_cam: jnp.ndarray,
     proj = project_gaussians(means_cam, quats_cam, log_scales, alive, cam,
                              means2d_offset)
     if binning is None:
-        binning = bin_gaussians(proj, cam, cfg)
+        binning = bin_gaussians(
+            proj, cam, cfg,
+            emit_exp=cfg.resolve_bwd_mode() == "segreduce")
     else:
         # frozen tile lists may reference Gaussians culled at the current
         # pose; silence them instead of compositing stale conics
         opacity = jnp.where(proj.valid, opacity, 0.0)
     tiles_out, tiles_t = composite(proj, opacity, features, binning, cam,
-                                   cfg, live_grad_cols)
+                                   cfg, live_grad_cols, sq_col=sq_col)
 
-    F = features.shape[-1]
+    F = features.shape[-1] + (0 if sq_col is None else 1)
     gx, gy = cam.tiles_x, cam.tiles_y
     img = tiles_out.reshape(gy, gx, TILE, TILE, F)
     img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, F)
@@ -585,13 +720,13 @@ def render(means_cam: jnp.ndarray,
     }
 
 
-# table columns for the fused 6-feature render: u, v, A, B, C, op,
-# r, g, b, z, ones, z^2. The ones-column (10, silhouette) is a constant
-# and the z^2 column (11) only feeds the stop-gradient'ed depth
-# uncertainty (losses._photometric_terms), so neither ever carries a live
-# gradient — dropping them from the backward scatter is exact.
+# table columns for the fused 4-feature render: u, v, A, B, C, op,
+# r, g, b, z. The reference's silhouette channel (composited ones) is
+# exactly 1 - final_T (the kernel's transmittance output) and its z^2
+# channel is synthesized post-gather (sq_col), so neither occupies a
+# column of the per-iteration [T*K]-row gather/scatter table.
 TRACKING_LIVE_COLS = (0, 1, 2, 3, 4, 9)       # pose reaches u,v,conic,z
-MAPPING_LIVE_COLS = tuple(i for i in range(12) if i not in (10, 11))
+MAPPING_LIVE_COLS = tuple(range(10))          # every column is live
 
 
 def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
@@ -603,16 +738,17 @@ def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
     The reference rasterizes twice per loss evaluation — once for RGB and once
     for [z, 1, z^2] (scripts/splatam.py:529-537, slam_helpers.py:196-213).
     The compositing weights are identical, so on TPU we composite a single
-    6-channel feature matrix and split. Returns (im [3,H,W], depth [1,H,W],
+    fused feature matrix [r, g, b, z] (+ synthesized z^2) and recover the
+    silhouette as 1 - final_T. Returns (im [3,H,W], depth [1,H,W],
     silhouette [H,W], depth_sq [1,H,W], aux dict).
     """
     z = means_cam[:, 2:3]
-    feats = jnp.concatenate(
-        [rgb_colors, z, jnp.ones_like(z), z * z], axis=-1)
+    feats = jnp.concatenate([rgb_colors, z], axis=-1)
     out = render(means_cam, quats_cam, log_scales, logit_opacities, feats,
-                 alive, cam, cfg, means2d_offset, binning, live_grad_cols)
+                 alive, cam, cfg, means2d_offset, binning, live_grad_cols,
+                 sq_col=3)
     img = out["image"]
-    return (img[0:3], img[3:4], img[4], img[5:6],
+    return (img[0:3], img[3:4], 1.0 - out["final_T"], img[4:5],
             {"radii": out["radii"], "final_T": out["final_T"],
              "n_isect": out["n_isect"], "n_overflow": out["n_overflow"]})
 
@@ -685,17 +821,17 @@ def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
     zf = safe(tz)
 
     gdata = jnp.stack(
-        [u, v, cA, cB, cC, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2],
-         zf, valid.astype(jnp.float32), zf * zf],
-        axis=-1).reshape(T, K, 12)
-    tiles_out, tiles_t = composite_gdata(gdata, counts, cam, cfg, 6)
+        [u, v, cA, cB, cC, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], zf],
+        axis=-1).reshape(T, K, 10)
+    tiles_out, tiles_t = composite_gdata(gdata, counts, cam, cfg, 4,
+                                         sq_col=3)
 
     gx, gy = cam.tiles_x, cam.tiles_y
-    img = tiles_out.reshape(gy, gx, TILE, TILE, 6)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, 6)
+    img = tiles_out.reshape(gy, gx, TILE, TILE, 5)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, 5)
     img = jnp.moveaxis(img[: cam.height, : cam.width], -1, 0)
     final_t = tiles_t.reshape(gy, gx, TILE, TILE)
     final_t = final_t.transpose(0, 2, 1, 3).reshape(gy * TILE, gx * TILE)
     final_t = final_t[: cam.height, : cam.width]
-    return (img[0:3], img[3:4], img[4], img[5:6],
+    return (img[0:3], img[3:4], 1.0 - final_t, img[4:5],
             {"final_T": final_t})

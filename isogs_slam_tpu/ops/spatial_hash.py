@@ -37,6 +37,12 @@ class HashGrid(NamedTuple):
     ends: jnp.ndarray        # [H] int32 bucket end
     cell_size: jnp.ndarray   # [] f32
     table_size: int          # static, power of two
+    # fused per-sorted-point record [C, 5]: (bitcast cell_of, bitcast
+    # orig id, x, y, z). TPU random access is index-serial (~8 ns/row,
+    # columns amortized) — the query's three [Q, 27*cap] gathers
+    # (cell_of, order, points) fused into ONE row gather cut the
+    # 32k-query pool build ~3x.
+    rec: jnp.ndarray | None = None
 
 
 def _cell_coords(points, cell_size):
@@ -86,9 +92,14 @@ def build_hash_grid(points, alive, cell_size, table_size: int = 1 << 16
     buckets = jnp.arange(table_size, dtype=jnp.int32)
     starts = jnp.searchsorted(h_sorted, buckets, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(h_sorted, buckets, side="right").astype(jnp.int32)
-    return HashGrid(order=order, cell_of=_pack_cells(cells)[order],
+    cell_of = _pack_cells(cells)[order]
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    rec = jnp.concatenate(
+        [bc(cell_of)[:, None], bc(order)[:, None],
+         points[order].astype(jnp.float32)], axis=1)           # [C, 5]
+    return HashGrid(order=order, cell_of=cell_of,
                     starts=starts, ends=ends, cell_size=cell_size,
-                    table_size=table_size)
+                    table_size=table_size, rec=rec)
 
 
 def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
@@ -96,6 +107,11 @@ def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
 
     Returns (sq_dists [Q,k], indices [Q,k] into the original point array).
     Missing neighbors (sparse regions) have sq_dist = +inf.
+
+    Candidate positions come from the grid's fused record (positions AT
+    BUILD time) — when the grid is reused across a mapping phase the
+    candidate ranking uses phase-start positions, the same staleness the
+    frozen cells already carry; density values always use current params.
     """
     C = points.shape[0]
     qcells = _cell_coords(queries, grid.cell_size)            # [Q,3]
@@ -112,14 +128,17 @@ def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
     in_bucket = slots < e[..., None]
     slots = jnp.clip(slots, 0, C - 1)
 
-    cand_cell = grid.cell_of[slots]                           # [Q,27,cap]
+    # ONE fused row gather for (cell, id, xyz) — see HashGrid.rec
+    recs = grid.rec[slots]                                    # [Q,27,cap,5]
+    bci = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    cand_cell = bci(recs[..., 0])                             # [Q,27,cap]
     # exact-cell check kills hash collisions AND duplicate candidates
     same_cell = cand_cell == _pack_cells(ncells)[:, :, None]
     valid = in_bucket & same_cell                             # [Q,27,cap]
 
-    cand_idx = grid.order[slots].reshape(queries.shape[0], -1)  # [Q,27*cap]
+    cand_idx = bci(recs[..., 1]).reshape(queries.shape[0], -1)  # [Q,27*cap]
     valid = valid.reshape(queries.shape[0], -1)
-    cand_pts = points[cand_idx]                               # [Q,27cap,3]
+    cand_pts = recs[..., 2:5].reshape(queries.shape[0], -1, 3)
     diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(valid, d2, jnp.inf)

@@ -120,7 +120,8 @@ def map_frame(state: MapState,
                                     camera_grad=False)
         proj = project_gaussians(mc, qc, p0.log_scales, alive0, cam,
                                  margin_px=mcfg.bin_margin_px)
-        return bin_gaussians(proj, cam, rcfg)
+        return bin_gaussians(proj, cam, rcfg,
+                             emit_exp=rcfg.resolve_bwd_mode() == "segreduce")
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
     # true-candidate truncation observability (Binning.n_true_overflow):
