@@ -1,7 +1,7 @@
 """Pallas TPU kernel: per-tile front-to-back alpha compositing (fwd + bwd).
 
 This is the hot inner loop of the differentiable rasterizer — the analog of
-the CUDA `rasterize_to_pixels_3dgs_fwd/бwd` kernels the reference consumes
+the CUDA `rasterize_to_pixels_3dgs_fwd/bwd` kernels the reference consumes
 through gsplat (cpp/src/rendering/renderer.cpp:214-232; the backward the C++
 port never wired up). The pure-JAX path (ops/rasterize._composite_chunk)
 materializes [tiles, K, 256] intermediates in HBM; this kernel keeps all
@@ -9,7 +9,11 @@ per-tile work in VMEM and skips work once transmittance saturates.
 
 Design (TPU-first, not a CUDA translation):
   * grid = one program per 16x16 tile; per-tile records gdata[K, 6+F]
-    (u, v, conic A B C, opacity, features) arrive via BlockSpec pipelining.
+    (ABSOLUTE-pixel u, v, conic A B C, opacity, features) arrive via
+    BlockSpec pipelining. The tile's pixel origin is derived in-kernel
+    from the tile index (tiles_x static), so no origin-shifted copy of
+    gdata is ever materialized (measured ~10 ms/iter of XLA glue at
+    3225 tiles x 512 slots).
   * the sequential front-to-back recurrence w_i = a_i prod_{j<i} (1 - a_j)
     becomes, per 128-slot chunk, an *exclusive cumulative sum in log space
     computed as a strict-lower-triangular [128,128] matmul* (MXU), with a
@@ -21,10 +25,17 @@ Design (TPU-first, not a CUDA translation):
     ladder and walks chunks in reverse with a gw*w suffix accumulator
     (strict-upper-triangular matmul within a chunk) — the closed form of
     the CUDA backward's back-to-front running sums.
+  * sq_col: the depth^2 channel ([z, 1, z^2] rendervar semantics,
+    slam_helpers.py:196-213) is synthesized in-kernel from the z feature
+    column — it occupies no column of the gathered table and no
+    materialized concat (its cotangent folds back into the z column).
+  * the tile count need not divide TPB: only the [T] counts vector is
+    padded; boundary gdata/out blocks rely on Pallas' masked block reads
+    and writes (fake tiles carry count 0 and compute nothing).
 
 The public entry `composite_tiles` carries a custom_vjp: cotangents flow to
-gdata only (counts are integers); upstream, XLA's gather-VJP scatter-adds
-d_gdata back into the [N, 6+F] Gaussian table.
+gdata only (counts are integers); upstream, the expansion-order segreduce
+(ops/segreduce.py) accumulates d_gdata into the [N, 6+F] Gaussian table.
 """
 from __future__ import annotations
 
@@ -44,12 +55,12 @@ T_EPS = 1e-4
 LOG_T_EPS = -9.210340371976184  # log(1e-4)
 
 
-def _pixel_coords(tiles_x):
-    """(px, py) [1, P] f32 pixel coordinates within a tile, before adding
-    the tile origin."""
+def _pixel_coords(ox, oy):
+    """(px, py) [1, P] f32 pixel coordinates of the tile whose origin is
+    (ox, oy)."""
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pid % TILE).astype(jnp.float32)
-    py = (pid // TILE).astype(jnp.float32)
+    px = (pid % TILE + ox).astype(jnp.float32)
+    py = (pid // TILE + oy).astype(jnp.float32)
     return px, py
 
 
@@ -84,20 +95,35 @@ def _chunk_alpha(gd, px, py, count, base):
     return a, contrib, alpha, power, dx, dy
 
 
+def _feat_ext(gd, F, sq_col):
+    """[CHUNK, F(+1)] feature matrix, with the synthesized square channel
+    appended when sq_col is set."""
+    feat = gd[:, 6:6 + F]
+    if sq_col is None:
+        return feat
+    fs = gd[:, 6 + sq_col:7 + sq_col]
+    return jnp.concatenate([feat, fs * fs], axis=1)
+
+
 TPB = 8                  # tiles per program (amortizes per-program overhead)
 
 
 def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
-                *, n_chunks, F):
+                *, n_chunks, F, Fo, sq_col, tiles_x):
     i = pl.program_id(0)
-    px, py = _pixel_coords(None)
     tri = _tri_strict_lower()
 
     out_ref[:] = jnp.zeros_like(out_ref)
     tsum_ref[:] = jnp.zeros_like(tsum_ref)
 
     for t in range(TPB):
-        count = counts_ref[i * TPB + t]
+        tile = i * TPB + t
+        if tiles_x is None:        # caller pre-shifted u,v to tile-local
+            px, py = _pixel_coords(0, 0)
+        else:
+            px, py = _pixel_coords((tile % tiles_x) * TILE,
+                                   (tile // tiles_x) * TILE)
+        count = counts_ref[tile]
         carry_ref[:] = jnp.zeros_like(carry_ref)   # running log-T per pixel
 
         for c in range(n_chunks):
@@ -116,25 +142,34 @@ def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
                 t_excl = jnp.exp(s_excl)
                 include = contrib & (t_excl * (1.0 - a) >= T_EPS)
                 w = jnp.where(include, a * t_excl, 0.0)
-                feat = gd[:, 6:]
+                feat = _feat_ext(gd, F, sq_col)
                 out_ref[t, :, :] += jax.lax.dot_general(
                     w, feat, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # [P, F]
+                    preferred_element_type=jnp.float32)     # [P, Fo]
                 tsum_ref[t, :, :] += jnp.sum(w, axis=0, keepdims=True)
                 carry_ref[0:1, :] += jnp.sum(l, axis=0, keepdims=True)
 
 
 def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
-                carries_ref, suffix_ref, sat_ref, *, n_chunks, F):
+                carries_ref, suffix_ref, sat_ref,
+                *, n_chunks, F, Fo, sq_col, tiles_x):
+    # dgdata_ref may be bf16 (out_dtype of _bwd_call): the d_table scatter
+    # accumulates in bf16 anyway, so emitting bf16 here saves a full-array
+    # convert + halves the kernel's output write
     i = pl.program_id(0)
-    px, py = _pixel_coords(None)
     tri_l = _tri_strict_lower()
     tri_u = _tri_strict_upper()
 
     dgdata_ref[:] = jnp.zeros_like(dgdata_ref)
 
     for t in range(TPB):
-        count = counts_ref[i * TPB + t]
+        tile = i * TPB + t
+        if tiles_x is None:        # caller pre-shifted u,v to tile-local
+            px, py = _pixel_coords(0, 0)
+        else:
+            px, py = _pixel_coords((tile % tiles_x) * TILE,
+                                   (tile // tiles_x) * TILE)
+        count = counts_ref[tile]
 
         # pass 1: rebuild the per-chunk carry ladder (log-T before a chunk).
         # Once every pixel's transmittance is below T_EPS ("saturation"),
@@ -158,7 +193,7 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
                 def _():
                     sat_ref[0] = c + 1
 
-        gout = gout_ref[t, :, :]                            # [P, F]
+        gout = gout_ref[t, :, :]                            # [P, Fo]
         gt = gt_ref[t, :, :]                                # [1, P]
 
         # pass 2: reverse chunk walk with a gw*w suffix accumulator.
@@ -181,7 +216,7 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
                 t_excl = jnp.exp(s_excl)
                 include = contrib & (t_excl * (1.0 - a) >= T_EPS)
                 w = jnp.where(include, a * t_excl, 0.0)
-                feat = gd[:, 6:]
+                feat = _feat_ext(gd, F, sq_col)
 
                 # g_w[k,p] = sum_f feat[k,f] gout[p,f] + g_tsum[p]
                 gw = jax.lax.dot_general(
@@ -212,69 +247,76 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
                 dop = jnp.sum(dop_pix, axis=1, keepdims=True)
                 dfeat = jnp.dot(w, gout,
                                 preferred_element_type=jnp.float32)
+                if sq_col is not None:
+                    # the synthesized square channel's cotangent folds
+                    # back into its source column: d z += 2 z * d(z^2)
+                    fs = gd[:, 6 + sq_col:7 + sq_col]
+                    onehot = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, F), 1) == sq_col).astype(jnp.float32)
+                    dfeat = (dfeat[:, :F]
+                             + (2.0 * fs * dfeat[:, F:F + 1]) * onehot)
                 dgdata_ref[t, pl.ds(base, CHUNK), :] = jnp.concatenate(
-                    [du, dv, dA, dB, dC, dop, dfeat], axis=1)
+                    [du, dv, dA, dB, dC, dop, dfeat],
+                    axis=1).astype(dgdata_ref.dtype)
                 suffix_ref[0:1, :] += jnp.sum(gww, axis=0, keepdims=True)
 
 
-def _pad_tiles(gdata, counts):
-    T = gdata.shape[0]
+def _pad_counts(counts, T):
     pad = (-T) % TPB
     if pad:
-        gdata = jnp.concatenate(
-            [gdata, jnp.zeros((pad,) + gdata.shape[1:], gdata.dtype)])
         counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
-    return gdata, counts, T + pad
+    return counts, T + pad
 
 
-def _fwd_call(gdata, counts, F: int, interpret: bool):
-    T0 = gdata.shape[0]
-    gdata, counts, T = _pad_tiles(gdata, counts)
+def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
+              sq_col: int | None):
+    T = gdata.shape[0]
+    counts, T_pad = _pad_counts(counts, T)
     K = gdata.shape[1]
     n_chunks = K // CHUNK
-    kernel = functools.partial(_fwd_kernel, n_chunks=n_chunks, F=F)
+    Fo = F + (0 if sq_col is None else 1)
+    kernel = functools.partial(_fwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
+                               sq_col=sq_col, tiles_x=tiles_x)
     out, tsum = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T // TPB,),
+            grid=(T_pad // TPB,),
             in_specs=[pl.BlockSpec((TPB, K, 6 + F),
                                    lambda i, c: (i, 0, 0))],
             out_specs=[
-                pl.BlockSpec((TPB, P, F), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((TPB, P, Fo), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((T, P, F), jnp.float32),
+            jax.ShapeDtypeStruct((T, P, Fo), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
     )(counts, gdata)
-    return out[:T0], 1.0 - tsum[:T0, 0, :]
+    return out, 1.0 - tsum[:, 0, :]
 
 
-def _bwd_call(gdata, counts, gout, gtsum, F: int, interpret: bool):
-    T0, K, _ = gdata.shape
-    gdata, counts, T = _pad_tiles(gdata, counts)
-    pad = T - T0
-    gtsum = gtsum.reshape(T0, 1, P)
-    if pad:
-        gout = jnp.concatenate(
-            [gout, jnp.zeros((pad, P, F), gout.dtype)])
-        gtsum = jnp.concatenate(
-            [gtsum, jnp.zeros((pad, 1, P), gtsum.dtype)])
+def _bwd_call(gdata, counts, gout, gtsum, F: int, tiles_x: int,
+              interpret: bool, sq_col: int | None,
+              out_dtype=jnp.float32):
+    T, K, _ = gdata.shape
+    counts, T_pad = _pad_counts(counts, T)
+    gtsum = gtsum.reshape(T, 1, P)
     n_chunks = K // CHUNK
-    kernel = functools.partial(_bwd_kernel, n_chunks=n_chunks, F=F)
+    Fo = F + (0 if sq_col is None else 1)
+    kernel = functools.partial(_bwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
+                               sq_col=sq_col, tiles_x=tiles_x)
     dgdata = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T // TPB,),
+            grid=(T_pad // TPB,),
             in_specs=[
                 pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((TPB, P, F), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((TPB, P, Fo), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
@@ -282,30 +324,38 @@ def _bwd_call(gdata, counts, gout, gtsum, F: int, interpret: bool):
                             pltpu.VMEM((1, P), jnp.float32),
                             pltpu.SMEM((1,), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), out_dtype),
         interpret=interpret,
     )(counts, gdata, gout, gtsum)
-    return dgdata[:T0]
+    return dgdata
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def composite_tiles(gdata, counts, F: int, interpret: bool = False):
-    """gdata [T, K, 6+F] (u, v, A, B, C, opacity, features...), counts [T]
-    -> (tile images [T, P, F], final transmittance [T, P] as 1 - sum w).
-    K must be a multiple of 128."""
-    return _fwd_call(gdata, counts, F, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def composite_tiles(gdata, counts, F: int, tiles_x: int | None,
+                    interpret: bool = False, sq_col: int | None = None):
+    """gdata [T, K, 6+F] (absolute-pixel u, v, conic A B C, opacity,
+    features...), counts [T] -> (tile images [T, P, F(+1)], final
+    transmittance [T, P] as 1 - sum w). K must be a multiple of 128;
+    tile t's pixel origin is ((t % tiles_x)*16, (t // tiles_x)*16), or
+    (0, 0) for every tile when tiles_x is None (caller pre-shifted u,v
+    to tile-local coordinates, e.g. the tile-sharded path whose shard
+    offsets are not static).
+    sq_col appends the square of feature column sq_col as an extra output
+    channel (synthesized in-kernel; no extra gdata column)."""
+    return _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
 
 
-def _ct_fwd(gdata, counts, F, interpret):
-    out = _fwd_call(gdata, counts, F, interpret)
+def _ct_fwd(gdata, counts, F, tiles_x, interpret, sq_col):
+    out = _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
     return out, (gdata, counts)
 
 
-def _ct_bwd(F, interpret, res, cts):
+def _ct_bwd(F, tiles_x, interpret, sq_col, res, cts):
     gdata, counts = res
     gout, gfinal_t = cts
     # final_T = 1 - tsum  =>  d tsum = -d final_T
-    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, F, interpret)
+    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, F, tiles_x,
+                       interpret, sq_col)
     return dgdata, None
 
 

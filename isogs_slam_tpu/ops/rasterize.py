@@ -488,17 +488,17 @@ def _grsr_bwd(m_cap, live_cols, scatter_bf16, interpret, res, dg):
     d_exp = (jnp.zeros((m_cap + W, LANES), acc_dtype)
              .at[slot_exp_pos.reshape(-1)]
              .set(upd, mode="drop", unique_indices=True))
-    # (2) contiguous gaussian-major segments -> [N, L]
-    dtab_sub = segment_reduce_rows(d_exp, exp_offsets, n, L,
-                                   interpret=interpret).astype(dg.dtype)
+    # (2) contiguous gaussian-major segments -> planar [L, N]
+    planar = segment_reduce_rows(d_exp, exp_offsets, n, L,
+                                 interpret=interpret).astype(dg.dtype)
     if L == c:
-        dtab = dtab_sub
+        dtab = planar.T
     else:
         zero = jnp.zeros((n,), dg.dtype)
         out_cols, j = [], 0
         for col in range(c):
             if col in cols:
-                out_cols.append(dtab_sub[:, j])
+                out_cols.append(planar[j])
                 j += 1
             else:
                 out_cols.append(zero)
@@ -509,6 +509,76 @@ def _grsr_bwd(m_cap, live_cols, scatter_bf16, interpret, res, dg):
 
 
 _gather_rows_segreduce.defvjp(_grsr_fwd, _grsr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused render core for the mapping path on TPU: ONE custom_vjp
+# spanning gather -> Pallas composite (fwd) and Pallas composite bwd ->
+# expansion scatter -> Pallas segment reduce (bwd). Fusing the AD boundary
+# lets every internal stage pick its natural layout/dtype: the bwd kernel
+# emits bf16 directly (no full-array convert), the scatter stays lane-
+# padded row-major, and the returned d_table is PLANAR [C, N] so each
+# column's VJP chain is a contiguous row slice (measured: the unfused
+# chain paid ~7 ms/iter of relayout copies + column splits at N=1.2M).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _composite_table_fused(table_pl, idx, counts, slot_exp_pos, exp_offsets,
+                           m_cap, F, tiles_x, sq_col, live_cols,
+                           scatter_bf16, interpret):
+    """table_pl [6+F, N] planar table (u, v, A, B, C, op, features rows);
+    idx [T, K] per-tile slots; counts [T]. Returns the Pallas composite's
+    (tiles_out [T, P, F(+1)], final_T [T, P])."""
+    from .pallas_composite import _fwd_call
+    gdata = table_pl.T[idx]
+    return _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
+
+
+def _ctf_fwd(table_pl, idx, counts, slot_exp_pos, exp_offsets, m_cap, F,
+             tiles_x, sq_col, live_cols, scatter_bf16, interpret):
+    from .pallas_composite import _fwd_call
+    gdata = table_pl.T[idx]
+    out = _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
+    return out, (gdata, counts, idx, slot_exp_pos, exp_offsets,
+                 table_pl.shape[1])
+
+
+def _ctf_bwd(m_cap, F, tiles_x, sq_col, live_cols, scatter_bf16, interpret,
+             res, cts):
+    from .pallas_composite import _bwd_call
+    from .segreduce import LANES, W, segment_reduce_rows
+    gdata, counts, idx, slot_exp_pos, exp_offsets, n = res
+    gout, gfinal_t = cts
+    C = gdata.shape[-1]
+    acc_dtype = jnp.bfloat16 if scatter_bf16 else jnp.float32
+    # final_T = 1 - tsum  =>  d tsum = -d final_T
+    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, F, tiles_x,
+                       interpret, sq_col, out_dtype=acc_dtype)
+    cols = list(live_cols) if live_cols is not None else list(range(C))
+    L = len(cols)
+    dsub = dgdata[..., cols] if L < C else dgdata
+    upd = jnp.pad(dsub.reshape(-1, L), ((0, 0), (0, LANES - L)))
+    d_exp = (jnp.zeros((m_cap + W, LANES), acc_dtype)
+             .at[slot_exp_pos.reshape(-1)]
+             .set(upd, mode="drop", unique_indices=True))
+    planar = segment_reduce_rows(d_exp, exp_offsets, n, L,
+                                 interpret=interpret)          # [L, n] f32
+    if L < C:
+        zero = jnp.zeros((n,), planar.dtype)
+        rows, j = [], 0
+        for c0 in range(C):
+            if c0 in cols:
+                rows.append(planar[j])
+                j += 1
+            else:
+                rows.append(zero)
+        planar = jnp.stack(rows, axis=0)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (planar, f0(idx), f0(counts), f0(slot_exp_pos),
+            f0(exp_offsets))
+
+
+_composite_table_fused.defvjp(_ctf_fwd, _ctf_bwd)
 
 
 def _composite_chunk(gdata, counts, origins, F: int):
@@ -582,11 +652,28 @@ def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
     num_tiles = cam.num_tiles
     K = cfg.max_per_tile
 
+    use_segreduce = (cfg.resolve_bwd_mode() == "segreduce"
+                     and binning.slot_exp_pos is not None)
+    backend = cfg.resolve_backend()
+    if (use_segreduce and backend in ("pallas", "pallas-interpret")
+            and binning.tile_gauss.shape[1] % 128 == 0):
+        # fully fused TPU mapping path: planar table build (row slices of
+        # column-major params), one custom_vjp over gather + composite +
+        # scatter + segment reduce (see _composite_table_fused)
+        live = tuple(live_grad_cols) if live_grad_cols is not None else None
+        table_pl = jnp.stack(
+            [proj.u, proj.v, proj.conic[:, 0], proj.conic[:, 1],
+             proj.conic[:, 2], opacity]
+            + [features[:, i] for i in range(F)], axis=0)      # [6+F, N]
+        return _composite_table_fused(
+            table_pl, binning.tile_gauss, binning.tile_count,
+            binning.slot_exp_pos, binning.exp_offsets,
+            cfg.max_isect(table_pl.shape[1]), F, cam.tiles_x, sq_col,
+            live, cfg.grad_scatter_bf16, backend == "pallas-interpret")
+
     table = jnp.concatenate(
         [proj.u[:, None], proj.v[:, None], proj.conic,
          opacity[:, None], features], axis=-1)                 # [N, 6+F]
-    use_segreduce = (cfg.resolve_bwd_mode() == "segreduce"
-                     and binning.slot_exp_pos is not None)
     if use_segreduce:
         live = tuple(live_grad_cols) if live_grad_cols is not None else None
         gdata = _gather_rows_segreduce(
@@ -612,32 +699,32 @@ def composite_gdata(gdata: jnp.ndarray, counts: jnp.ndarray, cam: Camera,
     sq_col: see composite() — appends feat[sq_col]^2 as an extra feature
     channel on the gathered records (autodiff routes its cotangent back
     into the source column; downstream stop_gradient makes it free)."""
-    if sq_col is not None:
-        zcol = gdata[..., 6 + sq_col:7 + sq_col]
-        gdata = jnp.concatenate([gdata, zcol * zcol], axis=-1)
-        F = F + 1
     num_tiles = cam.num_tiles
     K = gdata.shape[1]
-    tx = jnp.arange(num_tiles, dtype=jnp.int32) % cam.tiles_x
-    ty = jnp.arange(num_tiles, dtype=jnp.int32) // cam.tiles_x
-    origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
 
     backend = cfg.resolve_backend()
     if backend in ("pallas", "pallas-interpret"):
+        # absolute-pixel u,v: the kernel derives tile origins from the
+        # tile index and synthesizes the sq_col channel internally — no
+        # origin-shifted or widened copy of gdata is materialized
         from .pallas_composite import CHUNK, composite_tiles
-        # the kernel works in tile-local pixel coords; shift u, v
-        shift = jnp.concatenate(
-            [origins.astype(gdata.dtype),
-             jnp.zeros((num_tiles, 4 + F), gdata.dtype)], axis=-1)
-        gdata = gdata - shift[:, None, :]
         pad_k = (-K) % CHUNK
         if pad_k:
             gdata = jnp.concatenate(
                 [gdata, jnp.zeros((num_tiles, pad_k, 6 + F), gdata.dtype)],
                 axis=1)
         out, final_t = composite_tiles(
-            gdata, counts, F, backend == "pallas-interpret")
+            gdata, counts, F, cam.tiles_x,
+            backend == "pallas-interpret", sq_col)
         return out, final_t
+
+    if sq_col is not None:
+        zcol = gdata[..., 6 + sq_col:7 + sq_col]
+        gdata = jnp.concatenate([gdata, zcol * zcol], axis=-1)
+        F = F + 1
+    tx = jnp.arange(num_tiles, dtype=jnp.int32) % cam.tiles_x
+    ty = jnp.arange(num_tiles, dtype=jnp.int32) // cam.tiles_x
+    origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
 
     # composite in chunks of tiles to bound the [chunk, K, 256] intermediates
     chunk = min(cfg.tile_chunk, num_tiles)

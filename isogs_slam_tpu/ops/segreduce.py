@@ -71,14 +71,18 @@ def _kernel(starts_ref, lo_ref, d_exp_hbm, out_ref, win_ref, acc_ref, sem,
         dma.wait()
         jglob = start + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         m = ((jglob >= lo_row) & (jglob < hi_row)).astype(jnp.float32)
+        # accumulate TRANSPOSED [LANES, GB]: the planar ([C, N]) output
+        # makes the downstream per-column VJP chains contiguous row
+        # slices, and the out-block write avoids the 12.8x lane padding
+        # a [GB, C] row-major block would pay
         acc_ref[:] += jax.lax.dot_general(
-            m, win_ref[:].astype(jnp.float32),
+            win_ref[:].astype(jnp.float32), m,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [GB, LANES]
+            preferred_element_type=jnp.float32)                # [LANES, GB]
         return 0
 
     jax.lax.fori_loop(0, pl.cdiv(e - s, W), chunk, 0)
-    out_ref[:] = acc_ref[:, :C]
+    out_ref[:] = acc_ref[:C, :]
 
 
 def segment_reduce_rows(d_exp: jnp.ndarray, exp_offsets: jnp.ndarray,
@@ -89,7 +93,8 @@ def segment_reduce_rows(d_exp: jnp.ndarray, exp_offsets: jnp.ndarray,
     d_exp [M_pad, LANES] with the live data in columns [:n_cols] (M_pad
     must be >= exp_offsets[-1] + W so chunk DMAs never run out of bounds —
     pad with zeros); exp_offsets [n_out + 1] int32 non-decreasing.
-    Returns [n_out, n_cols] float32.
+    Returns PLANAR [n_cols, n_out] float32 (out[c, n] = segment sum of
+    column c) — the layout the per-column consumers want.
     """
     assert d_exp.shape[1] == LANES
     C = n_cols
@@ -119,14 +124,14 @@ def segment_reduce_rows(d_exp: jnp.ndarray, exp_offsets: jnp.ndarray,
                 # memrefs reject (sublane alignment proof)
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
-            out_specs=pl.BlockSpec((GB, C), lambda g, s: (g, 0)),
+            out_specs=pl.BlockSpec((C, GB), lambda g, s: (0, g)),
             scratch_shapes=[
                 pltpu.VMEM((W, LANES), d_exp.dtype),
-                pltpu.VMEM((GB, LANES), jnp.float32),
+                pltpu.VMEM((LANES, GB), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nb * GB, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, nb * GB), jnp.float32),
         interpret=interpret,
     )(starts, lo, d_exp)
-    return out[:n_out]
+    return out[:, :n_out]

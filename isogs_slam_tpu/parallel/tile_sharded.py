@@ -84,8 +84,10 @@ def render_tiles_sharded(mesh: Mesh, means_cam, quats_cam, log_scales,
                 gdata = jnp.concatenate(
                     [gdata, jnp.zeros((gdata.shape[0], pad_k, 6 + F),
                                       gdata.dtype)], axis=1)
+            # tiles_x=None: shard tile offsets are not static, so u,v stay
+            # pre-shifted to tile-local coordinates here
             out, final_t = composite_tiles(
-                gdata, cnt_shard, F, backend == "pallas-interpret")
+                gdata, cnt_shard, F, None, backend == "pallas-interpret")
         else:
             from ..ops.rasterize import _composite_chunk
             out, final_t = _composite_chunk(gdata, cnt_shard, org_shard, F)

@@ -28,9 +28,9 @@ def test_segment_reduce_rows_matches_numpy():
     d_exp[:m, :10] = d
 
     out = segment_reduce_rows(jnp.asarray(d_exp), jnp.asarray(offs), n_out,
-                              10, interpret=True)
+                              10, interpret=True)       # planar [10, n_out]
     expect = np.stack([d[offs[i]:offs[i + 1]].sum(axis=0)
-                       for i in range(n_out)])
+                       for i in range(n_out)]).T
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
 
 
@@ -68,6 +68,34 @@ def test_segreduce_grads_match_scatter(live_cols):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
     # sanity: gradients are non-trivial
     assert float(jnp.abs(g_new[0]).sum()) > 0
+
+
+def test_fused_composite_table_grads_match_scatter():
+    """The fully fused TPU mapping path (_composite_table_fused: planar
+    table -> gather -> Pallas composite, bwd = bf16 kernel output ->
+    expansion scatter -> planar segreduce) must match the plain XLA
+    scatter path. bf16 off so the comparison is exact-tolerance."""
+    cam, params, alive = _scene(seed=7)
+
+    def loss(params, backend, bwd_mode):
+        cfg = RasterConfig(max_per_tile=128, backend=backend,
+                           bwd_mode=bwd_mode, grad_scatter_bf16=False)
+        im, depth, sil, dsq, _ = render_rgbd_sil(
+            *params, alive, cam, cfg)
+        return (jnp.sum(im * im) + jnp.sum(jnp.abs(depth))
+                + jnp.sum(sil ** 3) + jnp.sum(dsq))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: loss(p, "xla", "scatter"))(params)
+    l_new, g_new = jax.value_and_grad(
+        lambda p: loss(p, "pallas-interpret", "segreduce"))(params)
+    np.testing.assert_allclose(float(l_ref), float(l_new), rtol=1e-5)
+    for a, b, name in zip(g_ref, g_new,
+                          ["means", "quats", "scales", "op", "rgb"]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
 
 
 def test_segreduce_forward_matches_scatter():
