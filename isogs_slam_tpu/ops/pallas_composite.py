@@ -108,8 +108,8 @@ def _feat_ext(gd, F, sq_col):
 TPB = 8                  # tiles per program (amortizes per-program overhead)
 
 
-def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
-                *, n_chunks, F, Fo, sq_col, tiles_x):
+def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carr_out_ref,
+                carry_ref, *, n_chunks, F, Fo, sq_col, tiles_x):
     i = pl.program_id(0)
     tri = _tri_strict_lower()
 
@@ -148,10 +148,15 @@ def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carry_ref,
                     preferred_element_type=jnp.float32)     # [P, Fo]
                 tsum_ref[t, :, :] += jnp.sum(w, axis=0, keepdims=True)
                 carry_ref[0:1, :] += jnp.sum(l, axis=0, keepdims=True)
+                # stash the post-chunk log-transmittance: the backward
+                # reads the ladder instead of recomputing it (pass 1 of
+                # the old bwd kernel — a full alpha recompute — becomes
+                # a flag walk over these)
+                carr_out_ref[t, c, :] = carry_ref[0, :]
 
 
-def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
-                carries_ref, suffix_ref, sat_ref,
+def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, carr_ref,
+                dgdata_ref, suffix_ref, sat_ref,
                 *, n_chunks, F, Fo, sq_col, tiles_x):
     # dgdata_ref may be bf16 (out_dtype of _bwd_call): the d_table scatter
     # accumulates in bf16 anyway, so emitting bf16 here saves a full-array
@@ -171,27 +176,23 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
                                    (tile // tiles_x) * TILE)
         count = counts_ref[tile]
 
-        # pass 1: rebuild the per-chunk carry ladder (log-T before a chunk).
-        # Once every pixel's transmittance is below T_EPS ("saturation"),
-        # all later chunks contribute w == 0 and zero gradient exactly —
-        # record the saturation chunk and skip everything beyond it in both
-        # passes (most tiles saturate within the first chunk).
-        carries_ref[0, :] = jnp.zeros((P,), jnp.float32)
-        sat_ref[0] = n_chunks
-        for c in range(n_chunks - 1):
+        # pass 1: count the executed chunks (the forward's skip rule) by
+        # walking the stashed carry ladder — chunk c executed iff the
+        # previous chunk did and its post-carry was not yet saturated.
+        # Non-executed chunks contribute exactly zero gradient and their
+        # ladder rows are garbage; the sat_ref == c guard keeps them
+        # unread in pass 2.
+        sat_ref[0] = 0
+        for c in range(n_chunks):
             base = c * CHUNK
+            if c == 0:
+                live = jnp.ones((), bool)
+            else:
+                live = jnp.max(carr_ref[t, c - 1, :]) >= LOG_T_EPS
 
-            @pl.when((base < count) & (c < sat_ref[0]))
+            @pl.when((base < count) & (sat_ref[0] == c) & live)
             def _():
-                gd = gdata_ref[t, pl.ds(base, CHUNK), :]
-                a, _, _, _, _, _ = _chunk_alpha(gd, px, py, count, base)
-                l = jnp.log1p(-a)
-                nxt = carries_ref[c, :] + jnp.sum(l, axis=0)
-                carries_ref[c + 1, :] = nxt
-
-                @pl.when(jnp.max(nxt) < LOG_T_EPS)
-                def _():
-                    sat_ref[0] = c + 1
+                sat_ref[0] = c + 1
 
         gout = gout_ref[t, :, :]                            # [P, Fo]
         gt = gt_ref[t, :, :]                                # [1, P]
@@ -210,9 +211,13 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, dgdata_ref,
                 a, contrib, alpha, power, dx, dy = _chunk_alpha(
                     gd, px, py, count, base)
                 l = jnp.log1p(-a)
+                if c == 0:
+                    carry_in = jnp.zeros((1, P), jnp.float32)
+                else:
+                    carry_in = carr_ref[t, c - 1:c, :]
                 s_excl = (jnp.dot(tri_l, l,
                                   preferred_element_type=jnp.float32)
-                          + carries_ref[c:c + 1, :])
+                          + carry_in)
                 t_excl = jnp.exp(s_excl)
                 include = contrib & (t_excl * (1.0 - a) >= T_EPS)
                 w = jnp.where(include, a * t_excl, 0.0)
@@ -269,7 +274,7 @@ def _pad_counts(counts, T):
 
 
 def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
-              sq_col: int | None):
+              sq_col: int | None, want_carries: bool = False):
     T = gdata.shape[0]
     counts, T_pad = _pad_counts(counts, T)
     K = gdata.shape[1]
@@ -277,7 +282,7 @@ def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
     Fo = F + (0 if sq_col is None else 1)
     kernel = functools.partial(_fwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
                                sq_col=sq_col, tiles_x=tiles_x)
-    out, tsum = pl.pallas_call(
+    out, tsum, carries = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -287,19 +292,26 @@ def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
             out_specs=[
                 pl.BlockSpec((TPB, P, Fo), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((TPB, n_chunks, P), lambda i, c: (i, 0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, P, Fo), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            # post-chunk log-transmittance ladder, stashed for the
+            # backward (rows of non-executed chunks are garbage and
+            # guarded unread there)
+            jax.ShapeDtypeStruct((T, n_chunks, P), jnp.float32),
         ],
         interpret=interpret,
     )(counts, gdata)
+    if want_carries:
+        return out, 1.0 - tsum[:, 0, :], carries
     return out, 1.0 - tsum[:, 0, :]
 
 
-def _bwd_call(gdata, counts, gout, gtsum, F: int, tiles_x: int,
+def _bwd_call(gdata, counts, gout, gtsum, carries, F: int, tiles_x: int,
               interpret: bool, sq_col: int | None,
               out_dtype=jnp.float32):
     T, K, _ = gdata.shape
@@ -318,15 +330,15 @@ def _bwd_call(gdata, counts, gout, gtsum, F: int, tiles_x: int,
                 pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, P, Fo), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((TPB, n_chunks, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((n_chunks, P), jnp.float32),
-                            pltpu.VMEM((1, P), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
                             pltpu.SMEM((1,), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), out_dtype),
         interpret=interpret,
-    )(counts, gdata, gout, gtsum)
+    )(counts, gdata, gout, gtsum, carries)
     return dgdata
 
 
@@ -346,15 +358,17 @@ def composite_tiles(gdata, counts, F: int, tiles_x: int | None,
 
 
 def _ct_fwd(gdata, counts, F, tiles_x, interpret, sq_col):
-    out = _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
-    return out, (gdata, counts)
+    out_im, final_t, carries = _fwd_call(gdata, counts, F, tiles_x,
+                                         interpret, sq_col,
+                                         want_carries=True)
+    return (out_im, final_t), (gdata, counts, carries)
 
 
 def _ct_bwd(F, tiles_x, interpret, sq_col, res, cts):
-    gdata, counts = res
+    gdata, counts, carries = res
     gout, gfinal_t = cts
     # final_T = 1 - tsum  =>  d tsum = -d final_T
-    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, F, tiles_x,
+    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, carries, F, tiles_x,
                        interpret, sq_col)
     return dgdata, None
 

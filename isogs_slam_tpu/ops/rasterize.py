@@ -538,21 +538,23 @@ def _ctf_fwd(table_pl, idx, counts, slot_exp_pos, exp_offsets, m_cap, F,
              tiles_x, sq_col, live_cols, scatter_bf16, interpret):
     from .pallas_composite import _fwd_call
     gdata = table_pl.T[idx]
-    out = _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
-    return out, (gdata, counts, idx, slot_exp_pos, exp_offsets,
-                 table_pl.shape[1])
+    out_im, final_t, carries = _fwd_call(gdata, counts, F, tiles_x,
+                                         interpret, sq_col,
+                                         want_carries=True)
+    return (out_im, final_t), (gdata, counts, carries, idx, slot_exp_pos,
+                               exp_offsets, table_pl.shape[1])
 
 
 def _ctf_bwd(m_cap, F, tiles_x, sq_col, live_cols, scatter_bf16, interpret,
              res, cts):
     from .pallas_composite import _bwd_call
     from .segreduce import LANES, W, segment_reduce_rows
-    gdata, counts, idx, slot_exp_pos, exp_offsets, n = res
+    gdata, counts, carries, idx, slot_exp_pos, exp_offsets, n = res
     gout, gfinal_t = cts
     C = gdata.shape[-1]
     acc_dtype = jnp.bfloat16 if scatter_bf16 else jnp.float32
     # final_T = 1 - tsum  =>  d tsum = -d final_T
-    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, F, tiles_x,
+    dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, carries, F, tiles_x,
                        interpret, sq_col, out_dtype=acc_dtype)
     cols = list(live_cols) if live_cols is not None else list(range(C))
     L = len(cols)
