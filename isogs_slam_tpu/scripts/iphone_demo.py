@@ -96,7 +96,7 @@ def main(argv=None):
     config["data"]["desired_image_height"] = color0.shape[0]
     config["data"]["desired_image_width"] = color0.shape[1]
 
-    slam = SLAM(_patched(config, stream))
+    slam = SLAM(config, dataset=stream)
     slam.run()
     slam.save_checkpoint(slam.num_frames - 1)
     if not args.no_eval:
@@ -107,14 +107,6 @@ def main(argv=None):
                       add_new_gaussians=True,
                       eval_every=config.get("eval_every", 5))
     return slam
-
-
-def _patched(config, stream):
-    """Route SLAM's dataset construction to the live stream (the pipeline
-    builds its datasets through this single factory)."""
-    import isogs_slam_tpu.slam.pipeline as pl
-    pl._dataset_from_config = lambda cfg, h, w: stream
-    return config
 
 
 if __name__ == "__main__":

@@ -191,9 +191,17 @@ def _to_chw_frame(color, depth):
 
 
 class SLAM:
-    """Stateful SLAM runner (construct once, call run())."""
+    """Stateful SLAM runner (construct once, call run()).
 
-    def __init__(self, config: dict):
+    `dataset` (optional) injects a pre-built frame source (e.g. the online
+    demo's live StreamDataset) instead of constructing one from the
+    config — the supported seam for streaming input (no module patching).
+    A stream cannot be re-decoded at other resolutions, so separate
+    tracking/densification resolutions are rejected loudly and the main
+    stream is used for all phases.
+    """
+
+    def __init__(self, config: dict, dataset=None):
         self.config = inject_defaults(config)
         cfg = self.config
         self.output_dir = os.path.join(cfg["workdir"], cfg["run_name"])
@@ -201,22 +209,35 @@ class SLAM:
         os.makedirs(self.eval_dir, exist_ok=True)
 
         dc = cfg["data"]
-        self.dataset = _dataset_from_config(
-            cfg, dc["desired_image_height"], dc["desired_image_width"])
+        self._injected_dataset = dataset is not None
+        if self._injected_dataset:
+            self.dataset = dataset
+        else:
+            self.dataset = _dataset_from_config(
+                cfg, dc["desired_image_height"], dc["desired_image_width"])
         self.num_frames = dc.get("num_frames", -1)
         if self.num_frames == -1:
             self.num_frames = len(self.dataset)
 
         # Separate-resolution tracking / densification datasets
+        want_track_res = (
+            dc["tracking_image_height"] != dc["desired_image_height"]
+            or dc["tracking_image_width"] != dc["desired_image_width"])
+        want_dens_res = (
+            dc["densification_image_height"] != dc["desired_image_height"]
+            or dc["densification_image_width"]
+            != dc["desired_image_width"])
+        if self._injected_dataset and (want_track_res or want_dens_res):
+            print("[pipeline] WARNING: separate tracking/densification "
+                  "resolutions are not available for an injected stream "
+                  "dataset; using the stream resolution for all phases.")
+            want_track_res = want_dens_res = False
         self.tracking_dataset = None
-        if (dc["tracking_image_height"] != dc["desired_image_height"]
-                or dc["tracking_image_width"] != dc["desired_image_width"]):
+        if want_track_res:
             self.tracking_dataset = _dataset_from_config(
                 cfg, dc["tracking_image_height"], dc["tracking_image_width"])
         self.densify_dataset = None
-        if (dc["densification_image_height"] != dc["desired_image_height"]
-                or dc["densification_image_width"]
-                != dc["desired_image_width"]):
+        if want_dens_res:
             self.densify_dataset = _dataset_from_config(
                 cfg, dc["densification_image_height"],
                 dc["densification_image_width"])
