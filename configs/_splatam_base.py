@@ -24,7 +24,8 @@ def make_config(*, group_name, run_name, basedir, gradslam_data_cfg,
                 checkpoint_time_idx=-1, start=0, end=-1, stride=1,
                 num_frames=-1, use_train_split=True, ignore_bad=False,
                 flat_weight=50.0, iso_weight=2.0, iso_sample_size=8192,
-                iso_k=16, workdir=None, extra_data=None):
+                iso_k=16, workdir=None, extra_data=None,
+                use_wandb=False, extra_top=None):
     data = dict(
         basedir=basedir,
         gradslam_data_cfg=gradslam_data_cfg,
@@ -61,7 +62,7 @@ def make_config(*, group_name, run_name, basedir, gradslam_data_cfg,
         checkpoint_time_idx=checkpoint_time_idx,
         save_checkpoints=save_checkpoints,
         checkpoint_interval=checkpoint_interval,
-        use_wandb=False,
+        use_wandb=use_wandb,
         wandb=dict(entity="", project="IsoGS-TPU", group=group_name,
                    name=run_name, save_qual=False, eval_save_qual=True),
         isogs=dict(sample_size=iso_sample_size, k=iso_k,
@@ -119,4 +120,23 @@ def make_config(*, group_name, run_name, basedir, gradslam_data_cfg,
                  show_sil=False, visualize_cams=True, viz_w=600, viz_h=340,
                  viz_near=0.01, viz_far=100.0, view_scale=2, viz_fps=5,
                  enter_interactive_post_online=False),
-    )
+    ) | (extra_top or {})
+
+
+def scene_from_env(scenes, *env_names, default="0"):
+    """Scene selection honoring the reference's env-var contract
+    (SCENE_NUM for *_eval.py, SCENE for NVS/rendering configs — see
+    reference configs/replica/replica_eval.py:10) as well as the repo's
+    SPLATAM_SCENE_INDEX. First set env var wins; out-of-range falls back
+    to scene 0."""
+    import os
+    idx = default
+    for name in (*env_names, "SPLATAM_SCENE_INDEX"):
+        if os.environ.get(name):
+            idx = os.environ[name]
+            break
+    try:
+        i = int(idx)
+    except ValueError:
+        i = 0
+    return scenes[i] if 0 <= i < len(scenes) else scenes[0]

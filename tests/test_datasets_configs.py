@@ -14,7 +14,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = ["replica/splatam.py", "replica/splatam_s.py", "tum/splatam.py",
            "scannet/splatam.py", "scannetpp/splatam.py",
-           "replica_v2/splatam.py", "iphone/splatam.py"]
+           "replica_v2/splatam.py", "iphone/splatam.py",
+           # eval / NVS families (reference configs/*/{*_eval,eval_novel_view}.py)
+           "replica/replica_eval.py", "replica/replica_rendering_eval.py",
+           "tum/tum_eval.py", "scannet/scannet_eval.py",
+           "scannetpp/scannetpp_eval.py", "scannetpp/eval_novel_view.py",
+           "replica_v2/eval_novel_view.py", "iphone/gaussian_splatting.py"]
+
+# post-SLAM-optimization / offline-trainer configs carry a `train` dict
+# instead of tracking/mapping (reference configs/*/post_splatam_opt.py)
+TRAIN_CONFIGS = ["replica/post_splatam_opt.py",
+                 "scannetpp/post_splatam_opt.py",
+                 "scannetpp/gaussian_splatting.py",
+                 "iphone/post_splatam_opt.py",
+                 "replica/gaussian_splatting.py"]
 
 
 @pytest.mark.parametrize("rel", CONFIGS)
@@ -30,6 +43,25 @@ def test_config_loads_and_has_reference_schema(rel):
         assert key in cfg["tracking"], key
     assert "pruning_dict" in cfg["mapping"]
     assert "densify_dict" in cfg["mapping"]
+    if rel.endswith(("rendering_eval.py", "eval_novel_view.py")):
+        assert cfg["data"]["use_train_split"] is False
+        assert "scene_path" in cfg
+
+
+@pytest.mark.parametrize("rel", TRAIN_CONFIGS)
+def test_train_config_loads(rel):
+    cfg = load_experiment_config(os.path.join(REPO, "configs", rel))
+    for key in ("workdir", "run_name", "data", "train"):
+        assert key in cfg, key
+    tr = cfg["train"]
+    for key in ("num_iters_mapping", "lrs_mapping", "loss_weights"):
+        assert key in tr, key
+
+
+def test_viz_config_loads():
+    cfg = load_experiment_config(
+        os.path.join(REPO, "configs", "iphone/splatam_viz.py"))
+    assert "scene_path" in cfg and "viz" in cfg
 
 
 def test_dataconfig_yamls_load():
