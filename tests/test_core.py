@@ -9,6 +9,8 @@ from isogs_slam_tpu.core import optim
 from isogs_slam_tpu.ops.iso_loss import flat_loss, iso_surface_loss, knn_blocked
 from isogs_slam_tpu.ops.ssim import calc_ssim, ms_ssim, psnr
 
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
+
 
 def test_append_prune_compact():
     st = G.empty_state(64)

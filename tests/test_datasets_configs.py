@@ -10,6 +10,8 @@ import pytest
 from isogs_slam_tpu.datasets import get_dataset, load_dataset_config
 from isogs_slam_tpu.slam.config import inject_defaults, load_experiment_config
 
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = ["replica/splatam.py", "replica/splatam_s.py", "tum/splatam.py",

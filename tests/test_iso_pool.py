@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 from isogs_slam_tpu.ops.iso_loss import (build_iso_knn_pool,
                                          iso_surface_loss, knn_blocked)
+import pytest
+
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 
 def _cloud(n=2048, seed=0):

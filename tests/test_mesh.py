@@ -14,6 +14,8 @@ from isogs_slam_tpu.mesh.marching import (largest_component,
 from isogs_slam_tpu.mesh.meshio import (read_ply, write_obj, write_ply_mesh,
                                         write_stl)
 
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
+
 
 def _sphere_mesh(r=0.5, n=40, center=(0.0, 0.0, 0.0)):
     lin = np.linspace(-1.2, 1.2, n)

@@ -16,6 +16,9 @@ from isogs_slam_tpu.ops.rasterize import (MAPPING_LIVE_COLS,
                                           TRACKING_LIVE_COLS, RasterConfig,
                                           render_rgbd_sil)
 from isogs_slam_tpu.utils.transforms import transform_to_frame
+import pytest
+
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 H, W = 48, 64
 

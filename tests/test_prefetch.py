@@ -4,6 +4,9 @@ import time
 import numpy as np
 
 from isogs_slam_tpu.datasets.prefetch import Prefetcher
+import pytest
+
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 
 class SlowDataset:

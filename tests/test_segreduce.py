@@ -13,6 +13,8 @@ from isogs_slam_tpu.core.camera import Camera
 from isogs_slam_tpu.ops.rasterize import RasterConfig, render_rgbd_sil
 from isogs_slam_tpu.ops.segreduce import LANES, W, segment_reduce_rows
 
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
+
 
 def test_segment_reduce_rows_matches_numpy():
     rng = np.random.default_rng(0)

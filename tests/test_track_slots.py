@@ -19,6 +19,9 @@ from isogs_slam_tpu.ops.rasterize import (RasterConfig, bin_gaussians,
 from isogs_slam_tpu.slam.losses import LossConfig, compute_loss, \
     compute_loss_slots
 from isogs_slam_tpu.utils.transforms import transform_to_frame
+import pytest
+
+pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 H, W = 48, 64
 
