@@ -22,7 +22,7 @@ config = dict(
     map_every=map_every,
     keyframe_every=keyframe_every,
     mapping_window_size=mapping_window_size,
-    report_global_progress_every=500,
+    report_global_progress_every=3,
     eval_every=2,
     scene_radius_depth_ratio=3,
     mean_sq_dist_method="projective",

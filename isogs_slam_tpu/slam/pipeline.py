@@ -296,6 +296,9 @@ class SLAM:
         self.logger = RunLogger(cfg)
         self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
                       "mapping_iter_time": [], "mapping_frame_time": []}
+        # online evaluation (eval_online + full report_progress,
+        # eval_helpers.py:188-441): created lazily on first report
+        self.online_eval = None
         self._compact_every = cfg.get("compact_every", 50)
         # multi-chip mapping over a view mesh (config["parallel"]["map_views"])
         self._map_views = int(cfg.get("parallel", {}).get("map_views", 0))
@@ -738,6 +741,11 @@ class SLAM:
                     and time_idx % cfg["checkpoint_interval"] == 0):
                 self.save_checkpoint(time_idx)
 
+        if self.online_eval is not None:
+            try:
+                self.online_eval.finalize()
+            except Exception as e:
+                print(f"[online eval] finalize failed: {e}")
         self.write_runtime_stats(end_frame)
         if (cfg["save_checkpoints"]
                 and end_frame % cfg["checkpoint_interval"] != 0):
@@ -745,25 +753,23 @@ class SLAM:
         return self.stats
 
     def report_progress(self, time_idx: int, im, d):
-        """Render the current frame at its estimated pose and log PSNR /
-        depth L1 (the online progress signal of report_progress)."""
-        from ..eval.eval_helpers import render_at_pose
-        from ..eval.metrics import psnr as psnr_np
-        q, t = self._pose(time_idx)
-        rim, rdepth, sil = render_at_pose(self, np.asarray(q),
-                                          np.asarray(t))
-        gt_im = np.asarray(im)
-        gt_d = np.asarray(d)
-        valid = gt_d > 0
-        p = psnr_np(np.asarray(rim) * valid, gt_im * valid)
-        l1 = float(np.abs((np.asarray(rdepth) - gt_d) * valid).sum()
-                   / max(valid.sum(), 1))
+        """Full online evaluation of the current frame at its estimated
+        pose (report_progress + eval_online, eval_helpers.py:188-441):
+        PSNR / MS-SSIM / depth RMSE+L1 / pose errors / running ATE, with
+        txt + qualitative-figure artifacts under <run>/eval_online/."""
+        if self.online_eval is None:
+            from ..eval.online import OnlineEvaluator
+            self.online_eval = OnlineEvaluator(
+                self.output_dir, self.config["mapping"]["sil_thres"],
+                logger=self.logger,
+                save_qual=self.config.get("eval_online_save_qual", True))
+        m = self.online_eval.eval_frame(self, time_idx, im, d)
         n_alive = int(self.state.num_alive())
-        print(f"[progress] frame {time_idx}: PSNR {p:.2f} dB, "
-              f"depth L1 {l1*100:.2f} cm, {n_alive} Gaussians")
-        self.logger.log({"progress/psnr": p, "progress/depth_l1": l1,
-                         "progress/num_gaussians": n_alive,
-                         "progress/frame": time_idx})
+        print(f"[progress] frame {time_idx}: PSNR {m['online/psnr']:.2f} "
+              f"dB, MS-SSIM {m['online/ms_ssim']:.3f}, depth L1 "
+              f"{m['online/depth_l1']*100:.2f} cm, ATE "
+              f"{m['online/ate_rmse']*100:.2f} cm, {n_alive} Gaussians")
+        self.logger.log({"progress/num_gaussians": n_alive})
 
     def initialize_first_frame_from(self, im, d):
         n_px = int(self.densify_cam.width * self.densify_cam.height)

@@ -24,6 +24,7 @@ def _tiny_config(tmp_path):
         load_checkpoint=False, checkpoint_time_idx=0,
         save_checkpoints=True, checkpoint_interval=5,
         use_wandb=False, compact_every=50, capacity_granule=8192,
+        report_global_progress_every=3, eval_online_save_qual=False,
         raster=dict(max_per_tile=384, isect_per_gaussian=6.0,
                     tile_chunk=30),
         isogs=dict(sample_size=512, k=8, target_saturation=1.0),
@@ -83,6 +84,21 @@ def test_slam_end_to_end_metrics(tmp_path):
     assert depth_l1_cm < 40.0, results
     # tracking must actually move poses (frozen-pose regression)
     assert np.abs(slam.cam_trans[:, 1:slam.num_frames]).max() > 1e-4
+
+    # online eval artifacts (eval_online + report_progress port): written
+    # during the run at the report cadence, summarized at the end
+    import json
+    import os
+    online_dir = os.path.join(slam.output_dir, "eval_online")
+    online_psnr = np.loadtxt(os.path.join(online_dir, "online_psnr.txt"))
+    online_ate = np.loadtxt(os.path.join(online_dir, "online_ate.txt"))
+    assert online_psnr.size >= 2 and np.isfinite(online_psnr).all()
+    assert np.isfinite(online_ate).all()
+    with open(os.path.join(online_dir, "online_summary.json")) as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["Online Average PSNR"])
+    assert np.isfinite(summary["Online Average Depth L1 (cm)"])
+    assert summary["Frames Evaluated"] == online_psnr.size
 
 
 def test_adaptive_tile_cap_escalation(tmp_path):
