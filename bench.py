@@ -82,11 +82,13 @@ def main():
                                margin_px=tcfg.cross_frame_margin_px,
                                slack_px=tcfg.bin_margin_px)
                   if tcfg.reuse_binning else None)
+    tile_sub = int(os.environ.get("BENCH_TILE_SUBSAMPLE", 1))
     mcfg = MappingConfig(
         num_iters=map_iters, lr_means3d=0.0001, lr_rgb_colors=0.0025,
         lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
         lr_log_scales=0.001,
-        prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+        prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500),
+        tile_subsample=tile_sub)
 
     key = jax.random.PRNGKey(0)
 

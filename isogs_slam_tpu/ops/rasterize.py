@@ -843,6 +843,88 @@ def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
 
 
 # ---------------------------------------------------------------------------
+# Subsampled-tile mapping render (opt-in fast-mapping mode): composite ONLY
+# a random subset of tiles per iteration. Every per-iteration cost that
+# scales with the intersection count (gdata gather, Pallas fwd/bwd, the
+# backward d_table scatter) shrinks by the subsample factor; the selected
+# tiles are re-indexed into a single-row virtual grid so the compositor
+# kernels run unchanged. The analog knob in the reference world is
+# rendering at a reduced resolution (configs/replica/splatam_s.py) — this
+# keeps full resolution but stochastically samples the pixel space.
+
+
+class _TileGrid(NamedTuple):
+    """Duck-typed stand-in for Camera inside composite_gdata: the selected
+    tiles are laid out as one virtual row of tiles."""
+    num_tiles: int
+    tiles_x: int
+
+
+def image_to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """[C, H, W] -> [num_tiles, TILE*TILE, C] in the compositor's pixel
+    order (p = y_local * TILE + x_local); out-of-image pixels are zero."""
+    C = img.shape[0]
+    gy, gx = cam.tiles_y, cam.tiles_x
+    x = jnp.pad(img, ((0, 0), (0, gy * TILE - cam.height),
+                      (0, gx * TILE - cam.width)))
+    x = x.reshape(C, gy, TILE, gx, TILE).transpose(1, 3, 2, 4, 0)
+    return x.reshape(gy * gx, TILE * TILE, C)
+
+
+def tile_pixel_validity(cam: Camera) -> np.ndarray:
+    """[num_tiles, TILE*TILE] bool: pixel lies inside the H x W image
+    (tiles on the right/bottom edge are partially padded)."""
+    gy, gx = cam.tiles_y, cam.tiles_x
+    vy = (np.arange(gy * TILE).reshape(gy, TILE) < cam.height)
+    vx = (np.arange(gx * TILE).reshape(gx, TILE) < cam.width)
+    v = vy[:, None, :, None] & vx[None, :, None, :]
+    return v.reshape(gy * gx, TILE * TILE)
+
+
+def render_tiles_subset(means_cam, quats_cam, log_scales, logit_opacities,
+                        rgb_colors, alive, sel, binning: Binning,
+                        cam: Camera, cfg: RasterConfig,
+                        means2d_offset=None, live_grad_cols=None):
+    """Differentiable fused rgb+z(+z^2) render of ONLY the tiles in
+    sel [T_sub] (int32 tile ids). Returns (tiles_out [T_sub, P, 5],
+    final_t [T_sub, P], aux) with channels (r, g, b, z, z^2).
+
+    The backward uses the plain partial-grad scatter-add
+    (_gather_rows_partial_grad): at T_sub*K rows it is cheaper than the
+    full-table segreduce pipeline, whose segment scan would still walk
+    every expansion row."""
+    opacity = jax.nn.sigmoid(logit_opacities[:, 0])
+    proj = project_gaussians(means_cam, quats_cam, log_scales, alive, cam,
+                             means2d_offset)
+    # frozen tile lists may reference Gaussians culled at the current pose
+    opacity = jnp.where(proj.valid, opacity, 0.0)
+    table = jnp.concatenate(
+        [proj.u[:, None], proj.v[:, None], proj.conic, opacity[:, None],
+         rgb_colors, means_cam[:, 2:3]], axis=-1)          # [N, 10]
+    idx = binning.tile_gauss[sel]                          # [T_sub, K]
+    counts = binning.tile_count[sel]
+    if live_grad_cols is None:
+        gdata = table[idx]
+    else:
+        gdata = _gather_rows_partial_grad(table, idx, tuple(live_grad_cols),
+                                          cfg.grad_scatter_bf16)
+    # re-index into the virtual single-row grid: virtual tile t composites
+    # pixels with origin (t*TILE, 0), so shift u,v by (virtual - real
+    # origin); an additive constant, transparent to the gradient
+    t_sub = sel.shape[0]
+    ox = (sel % cam.tiles_x) * TILE
+    oy = (sel // cam.tiles_x) * TILE
+    du = (jnp.arange(t_sub, dtype=jnp.int32) * TILE - ox).astype(gdata.dtype)
+    dv = (-oy).astype(gdata.dtype)
+    shift = jnp.zeros((t_sub, 1, gdata.shape[-1]), gdata.dtype)
+    shift = shift.at[:, 0, 0].set(du).at[:, 0, 1].set(dv)
+    gdata = gdata + shift
+    grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)
+    out, final_t = composite_gdata(gdata, counts, grid, cfg, 4, sq_col=3)
+    return out, final_t, {"radii": proj.radius}
+
+
+# ---------------------------------------------------------------------------
 # Slot-table render path (tracking): Gaussian params are FROZEN during a
 # tracking frame — only the camera pose moves. So the per-(tile, slot) raw
 # parameter records can be gathered ONCE per frame, and each iteration does

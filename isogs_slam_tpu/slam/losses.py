@@ -138,6 +138,100 @@ def compute_loss_slots(raw: jnp.ndarray, counts: jnp.ndarray,
                        mask_frac=jnp.mean(mask.astype(jnp.float32)))
 
 
+def _isogs_terms(params, alive, key, lcfg: LossConfig, iso_grid, iso_pool):
+    """Flat + iso regularizers shared by the exact and tile-subset
+    mapping losses (splatam.py:572-680)."""
+    loss_flat = flat_loss(params.log_scales, alive)
+    if lcfg.calc_iso:
+        assert key is not None
+        loss_iso, mean_density = iso_surface_loss(
+            params.means3d, params.unnorm_rotations, params.log_scales,
+            params.logit_opacities, alive, key,
+            sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
+            target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block,
+            knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
+            hash_table_size=lcfg.hash_table_size, grid=iso_grid,
+            pool=iso_pool)
+    else:
+        loss_iso = jnp.zeros(())
+        mean_density = jnp.zeros(())
+    return loss_flat, loss_iso, mean_density
+
+
+def compute_loss_subsampled(params: GaussianParams, alive: jnp.ndarray,
+                            cam_quat, cam_trans, gt_tiles, valid_px,
+                            interior_w, sel, binning, cam: Camera,
+                            rcfg: RasterConfig, lcfg: LossConfig,
+                            key=None, means2d_offset=None, iso_grid=None,
+                            iso_pool=None) -> LossOutputs:
+    """Mapping loss on a uniformly-random tile subset (opt-in
+    fast-mapping mode, mapping.tile_subsample > 1).
+
+    gt_tiles [T_sub, P, 4] = (r, g, b, depth) of the selected tiles;
+    valid_px [T_sub, P] in-image pixel mask; interior_w [T_sub] per-tile
+    SSIM weight (1 = tile fully inside the image). The masked means below
+    are ratio-estimator samples of their full-image counterparts, so the
+    stochastic gradient is unbiased up to the SSIM term, which swaps the
+    reference's SAME-padded full-image filter for per-tile VALID windows
+    (boundary windows dropped) — the reason the mode is off by default."""
+    assert not lcfg.tracking
+    from ..ops.rasterize import TILE, render_tiles_subset
+    from ..ops.ssim import ssim_tiles
+
+    means_cam, quats_cam = transform_to_frame(
+        params.means3d, params.unnorm_rotations, cam_quat, cam_trans,
+        gaussians_grad=True, camera_grad=False)
+    out, final_t, aux = render_tiles_subset(
+        means_cam, quats_cam, params.log_scales, params.logit_opacities,
+        params.rgb_colors, alive, sel, binning, cam, rcfg,
+        means2d_offset, live_grad_cols=MAPPING_LIVE_COLS)
+    im = out[..., 0:3]                                    # [Ts, P, 3]
+    depth = out[..., 3]
+    depth_sq = out[..., 4]
+    gt_im = gt_tiles[..., 0:3]
+    gt_depth = gt_tiles[..., 3]
+
+    uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
+    nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
+    mask = (gt_depth > 0) & nan_mask & valid_px
+    if lcfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0)
+        mask = mask & (depth_error < 10 * jnp.median(depth_error))
+    mask = jax.lax.stop_gradient(mask)
+
+    d_abs = jnp.abs(gt_depth - depth)
+    if lcfg.use_l1:
+        cnt = jnp.maximum(jnp.sum(mask.astype(d_abs.dtype)), 1.0)
+        loss_depth = jnp.sum(jnp.where(mask, d_abs, 0.0)) / cnt
+    else:
+        loss_depth = jnp.zeros(())
+
+    im_abs = jnp.abs(gt_im - im)
+    vcnt = jnp.maximum(3.0 * jnp.sum(valid_px.astype(im_abs.dtype)), 1.0)
+    l1 = jnp.sum(jnp.where(valid_px[..., None], im_abs, 0.0)) / vcnt
+    # per-tile valid-window SSIM, weighted to interior tiles
+    ts = im.shape[0]
+    tp = im.reshape(ts, TILE, TILE, 3).transpose(0, 3, 1, 2)
+    tg = gt_im.reshape(ts, TILE, TILE, 3).transpose(0, 3, 1, 2)
+    s_t = ssim_tiles(tp, tg)                              # [Ts]
+    wsum = jnp.maximum(jnp.sum(interior_w), 1.0)
+    ssim_mean = jnp.sum(s_t * interior_w) / wsum
+    loss_im = 0.8 * l1 + 0.2 * (1.0 - ssim_mean)
+
+    loss_flat, loss_iso, mean_density = _isogs_terms(
+        params, alive, key, lcfg, iso_grid, iso_pool)
+
+    wim = lcfg.w_im * loss_im
+    wdepth = lcfg.w_depth * loss_depth
+    wflat = lcfg.w_flat * loss_flat
+    wiso = lcfg.w_iso * loss_iso
+    return LossOutputs(
+        loss=wim + wdepth + wflat + wiso, im=wim, depth=wdepth, flat=wflat,
+        iso=wiso, mean_density=mean_density, radii=aux["radii"],
+        n_overflow=jnp.zeros((), jnp.int32),
+        mask_frac=jnp.mean(mask.astype(jnp.float32)))
+
+
 def compute_loss(params: GaussianParams, alive: jnp.ndarray,
                  cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
                  gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
@@ -171,20 +265,8 @@ def compute_loss(params: GaussianParams, alive: jnp.ndarray,
 
     # IsoGS regularizers (mapping only, splatam.py:572-680)
     if not tracking:
-        loss_flat = flat_loss(params.log_scales, alive)
-        if lcfg.calc_iso:
-            assert key is not None
-            loss_iso, mean_density = iso_surface_loss(
-                params.means3d, params.unnorm_rotations, params.log_scales,
-                params.logit_opacities, alive, key,
-                sample_size=lcfg.iso_sample_size, k=lcfg.iso_k,
-                target_saturation=lcfg.iso_target, knn_block=lcfg.knn_block,
-                knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
-                hash_table_size=lcfg.hash_table_size, grid=iso_grid,
-                pool=iso_pool)
-        else:
-            loss_iso = jnp.zeros(())
-            mean_density = jnp.zeros(())
+        loss_flat, loss_iso, mean_density = _isogs_terms(
+            params, alive, key, lcfg, iso_grid, iso_pool)
         w_flat, w_iso = lcfg.w_flat, lcfg.w_iso
     else:
         loss_flat = jnp.zeros(())

@@ -76,6 +76,12 @@ class MappingConfig(NamedTuple):
     # (use_gaussian_splatting_densification, configs/*/splatam.py)
     use_densification: bool = False
     densify: tuple | None = None   # DensifyConfig when enabled
+    # fast-mapping mode (OFF by default, deviates from reference
+    # semantics): render the loss on a 1/tile_subsample random tile
+    # subset per iteration — every intersection-proportional cost
+    # (gather, Pallas fwd/bwd, backward scatter) shrinks by the factor.
+    # See losses.compute_loss_subsampled for the estimator notes.
+    tile_subsample: int = 1
 
     def lrs(self) -> GaussianParams:
         f = jnp.float32
@@ -132,6 +138,8 @@ def map_frame(state: MapState,
     p0 = jax.tree.map(jax.lax.stop_gradient, state.params)
     alive0 = state.alive
 
+    subsample = mcfg.tile_subsample > 1
+
     def bin_slot(pose):
         quat, trans = pose
         mc, qc = transform_to_frame(p0.means3d, p0.unnorm_rotations,
@@ -139,8 +147,10 @@ def map_frame(state: MapState,
                                     camera_grad=False)
         proj = project_gaussians(mc, qc, p0.log_scales, alive0, cam,
                                  margin_px=mcfg.bin_margin_px)
-        return bin_gaussians(proj, cam, rcfg,
-                             emit_exp=rcfg.resolve_bwd_mode() == "segreduce")
+        # the subset path uses the plain scatter-add backward, so the
+        # expansion-position sort payload is not needed
+        emit = (rcfg.resolve_bwd_mode() == "segreduce") and not subsample
+        return bin_gaussians(proj, cam, rcfg, emit_exp=emit)
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
     # true-candidate truncation observability (Binning.n_true_overflow):
@@ -170,13 +180,44 @@ def map_frame(state: MapState,
             hash_table_size=lcfg.hash_table_size,
             knn_block=lcfg.knn_block, grid=iso_grid)
 
-    def loss_fn(params, m2d, alive, quat, trans, gt_im, gt_depth, key,
-                binning):
-        out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                           cam, rcfg, lcfg, key=key, binning=binning,
-                           iso_grid=iso_grid, means2d_offset=m2d,
-                           iso_pool=iso_pool)
-        return out.loss, out
+    if subsample:
+        # pre-tile the phase's keyframe GT into the compositor's tile
+        # layout once; iterations gather only the selected tiles' rows
+        from ..ops.rasterize import image_to_tiles, tile_pixel_validity
+        from .losses import compute_loss_subsampled
+
+        def tile_gt(c_u8, dmap):
+            im = c_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            return image_to_tiles(
+                jnp.concatenate([im, dmap[None]], axis=0), cam)
+
+        gt_tiles_all = jax.lax.map(
+            lambda x: tile_gt(*x), (kf_colors_u8, kf_depths))  # [S,T,P,4]
+        valid_px_full = jnp.asarray(tile_pixel_validity(cam))  # [T, P]
+        interior_full = valid_px_full.all(axis=1).astype(jnp.float32)
+        n_tiles = cam.num_tiles
+        t_sub = -(-n_tiles // mcfg.tile_subsample)
+
+        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning):
+            key_sel, key_iso = jax.random.split(jax.random.fold_in(key, 7))
+            sel = jax.random.permutation(key_sel, n_tiles)[:t_sub]
+            gt_tiles = gt_tiles_all[slot][sel]
+            out = compute_loss_subsampled(
+                params, alive, quat, trans, gt_tiles, valid_px_full[sel],
+                interior_full[sel], sel, binning, cam, rcfg, lcfg,
+                key=key_iso, means2d_offset=m2d, iso_grid=iso_grid,
+                iso_pool=iso_pool)
+            return out.loss, out
+    else:
+        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning):
+            gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
+                     ).transpose(2, 0, 1)
+            gt_depth = kf_depths[slot][None]
+            out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
+                               cam, rcfg, lcfg, key=key, binning=binning,
+                               iso_grid=iso_grid, means2d_offset=m2d,
+                               iso_pool=iso_pool)
+            return out.loss, out
 
     grad_argnums = (0, 1) if mcfg.use_densification else (0,)
     grad_fn = jax.value_and_grad(loss_fn, argnums=grad_argnums,
@@ -185,9 +226,6 @@ def map_frame(state: MapState,
     def body(carry, xs):
         st, opt = carry
         slot, key, it = xs
-        gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
-                 ).transpose(2, 0, 1)
-        gt_depth = kf_depths[slot][None]
         quat = jax.lax.stop_gradient(kf_quats[slot])
         trans = jax.lax.stop_gradient(kf_transl[slot])
         binning = jax.tree.map(lambda a: a[slot], bins)
@@ -195,8 +233,7 @@ def map_frame(state: MapState,
         m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
                if mcfg.use_densification else None)
         (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive, quat,
-                                          trans, gt_im, gt_depth, key,
-                                          binning)
+                                          trans, slot, key, binning)
         grads = grad_tuple[0]
         if mcfg.use_densification:
             from .densify import accumulate_mean2d_gradient, densify_step

@@ -166,7 +166,8 @@ def _mapping_cfg(config) -> MappingConfig:
         lr_unnorm_rotations=lrs["unnorm_rotations"],
         lr_logit_opacities=lrs["logit_opacities"],
         lr_log_scales=lrs["log_scales"], prune=prune,
-        use_densification=use_dens, densify=dens)
+        use_densification=use_dens, densify=dens,
+        tile_subsample=int(m.get("tile_subsample", 1)))
 
 
 def _tracking_cfg(config) -> TrackingConfig:
