@@ -860,6 +860,25 @@ class _TileGrid(NamedTuple):
     tiles_x: int
 
 
+# Backward-mode crossover for the subset path (measured on v5e at 938k
+# Gaussians, K=512): the segreduce pipeline carries a subset-size-
+# independent fixed cost (zero-init + full expansion scan ~9 ms) while
+# the duplicate scatter-add scales at ~53 ns/row — segreduce wins only
+# above ~250k cotangent rows.
+SUBSET_SEGREDUCE_MIN_ROWS = 256 * 1024
+
+
+def subset_uses_segreduce(cfg: RasterConfig, t_sub: int) -> bool:
+    """Static choice of the subset render's backward aggregation mode
+    (shared by render_tiles_subset and the binning emit_exp decision).
+    An explicit bwd_mode="segreduce" always takes the segreduce path;
+    "auto" applies the row-count crossover."""
+    if cfg.bwd_mode == "segreduce":
+        return True
+    return (cfg.resolve_bwd_mode() == "segreduce"
+            and t_sub * cfg.max_per_tile >= SUBSET_SEGREDUCE_MIN_ROWS)
+
+
 def image_to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
     """[C, H, W] -> [num_tiles, TILE*TILE, C] in the compositor's pixel
     order (p = y_local * TILE + x_local); out-of-image pixels are zero."""
@@ -903,8 +922,20 @@ def render_tiles_subset(means_cam, quats_cam, log_scales, logit_opacities,
          rgb_colors, means_cam[:, 2:3]], axis=-1)          # [N, 10]
     idx = binning.tile_gauss[sel]                          # [T_sub, K]
     counts = binning.tile_count[sel]
+    use_segreduce = (subset_uses_segreduce(cfg, sel.shape[0])
+                     and binning.slot_exp_pos is not None)
     if live_grad_cols is None:
         gdata = table[idx]
+    elif use_segreduce:
+        # duplicate-index scatter-ADD costs ~53 ns/row on TPU (sort-based
+        # dedup) — at T_sub*K rows above the crossover that is MORE than
+        # the full-table expansion write-back (unique .set, ~8 ns/row) +
+        # Pallas segment reduce, so the subset backward reuses the
+        # segreduce pipeline with the subset's expansion positions
+        gdata = _gather_rows_segreduce(
+            table, idx, binning.slot_exp_pos[sel], binning.exp_offsets,
+            cfg.max_isect(table.shape[0]), tuple(live_grad_cols),
+            cfg.grad_scatter_bf16, cfg.resolve_backend() != "pallas")
     else:
         gdata = _gather_rows_partial_grad(table, idx, tuple(live_grad_cols),
                                           cfg.grad_scatter_bf16)

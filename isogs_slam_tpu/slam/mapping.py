@@ -147,9 +147,15 @@ def map_frame(state: MapState,
                                     camera_grad=False)
         proj = project_gaussians(mc, qc, p0.log_scales, alive0, cam,
                                  margin_px=mcfg.bin_margin_px)
-        # the subset path uses the plain scatter-add backward, so the
-        # expansion-position sort payload is not needed
-        emit = (rcfg.resolve_bwd_mode() == "segreduce") and not subsample
+        # emit the expansion-position payload only when the backward will
+        # consume it: always for the exact path, above the row crossover
+        # for the subset path (rasterize.subset_uses_segreduce)
+        if subsample:
+            from ..ops.rasterize import subset_uses_segreduce
+            t_sub = -(-cam.num_tiles // mcfg.tile_subsample)
+            emit = subset_uses_segreduce(rcfg, t_sub)
+        else:
+            emit = rcfg.resolve_bwd_mode() == "segreduce"
         return bin_gaussians(proj, cam, rcfg, emit_exp=emit)
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))

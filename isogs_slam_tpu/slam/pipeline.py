@@ -39,7 +39,7 @@ from .losses import LossConfig
 from .mapping import MappingConfig, PruneConfig, map_frame
 from .pointcloud import add_new_gaussians, initialize_first_frame
 from .tracking import (BinningReuse, TrackingConfig, initialize_camera_pose,
-                       track_frame)
+                       track_frame, track_frame_pyramid)
 
 LOG_FIELDS = ["frame", "stage", "step", "loss", "image_loss", "depth_loss",
               "flat_loss", "iso_loss", "mean_density", "mask_frac"]
@@ -178,6 +178,8 @@ def _tracking_cfg(config) -> TrackingConfig:
         use_depth_loss_thres=t.get("use_depth_loss_thres", False),
         depth_loss_thres=t.get("depth_loss_thres", 100000),
         lr_decay=t.get("lr_decay", 1.0),
+        pyramid_levels=t.get("pyramid_levels", 1),
+        pyramid_iters=t.get("pyramid_iters", 0),
         bin_margin_px=t.get("bin_margin_px", 8.0),
         rebin_every_iter=t.get("rebin_every_iter", False),
         reuse_binning=t.get("reuse_binning", True),
@@ -456,9 +458,11 @@ class SLAM:
         binning = (self._track_bins.get(self.state.params, self.state.alive,
                                         q0, t0)
                    if self._track_bins is not None else None)
-        res = track_frame(self.state.params, self.state.alive, q0, t0,
-                          im, depth, self.tracking_cam, self.rcfg_track,
-                          self.lcfg_track, self.tcfg, binning=binning)
+        tracker = (track_frame_pyramid if self.tcfg.pyramid_levels > 1
+                   else track_frame)
+        res = tracker(self.state.params, self.state.alive, q0, t0,
+                      im, depth, self.tracking_cam, self.rcfg_track,
+                      self.lcfg_track, self.tcfg, binning=binning)
         self.cam_rots[:, time_idx] = np.asarray(res.quat)
         self.cam_trans[:, time_idx] = np.asarray(res.trans)
         return res

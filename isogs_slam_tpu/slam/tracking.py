@@ -74,6 +74,15 @@ class TrackingConfig(NamedTuple):
     # bounce: same loss, strictly tighter final pose. 1.0 = reference
     # behavior.
     lr_decay: float = 1.0
+    # Coarse-to-fine tracking (1 = off = reference parity): run
+    # pyramid_levels-1 coarse passes on 2x-downsampled image pyramids
+    # before the full-resolution pass. Widens the photometric convergence
+    # basin (~2-3 px at full res -> ~2-3 px *at the coarsest level*) for
+    # fast motion, and gives the full-res pass a near-basin start. Each
+    # coarse level costs ~4^-k of a full-res iteration.
+    pyramid_levels: int = 1
+    # iterations per coarse level (0 = same as num_iters)
+    pyramid_iters: int = 0
 
 
 class TrackResult(NamedTuple):
@@ -293,6 +302,57 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
     final = jax.lax.while_loop(cond, body, init)
     return TrackResult(quat=final.best_pose[0], trans=final.best_pose[1],
                        iters_run=final.it, loss_log=final.log)
+
+
+def pyramid_cam(cam: Camera, k: int) -> Camera:
+    """Camera for pyramid level k (2^k downsample), intrinsics scaled the
+    same way the dataset layer scales them on resize (K rows * ratio,
+    datasets/base.py:138-140)."""
+    s = 1 << k
+    return Camera(width=cam.width // s, height=cam.height // s,
+                  fx=cam.fx / s, fy=cam.fy / s, cx=cam.cx / s,
+                  cy=cam.cy / s, near=cam.near, far=cam.far)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def downsample_frame(gt_im: jnp.ndarray, gt_depth: jnp.ndarray, k: int):
+    """[3,H,W]+[1,H,W] -> level-k pyramid frame: color 2^k average-pooled
+    (BILINEAR-like), depth stride-subsampled (NEAREST — no edge mixing,
+    zeros stay exact zeros for the valid-depth mask)."""
+    s = 1 << k
+    H, W = gt_im.shape[-2], gt_im.shape[-1]
+    h, w = H // s, W // s
+    im = gt_im[:, : h * s, : w * s].reshape(3, h, s, w, s).mean((2, 4))
+    d = gt_depth[:, : h * s : s, : w * s : s]
+    return im, d
+
+
+def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
+                        init_quat: jnp.ndarray, init_trans: jnp.ndarray,
+                        gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
+                        cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
+                        tcfg: TrackingConfig, binning=None) -> TrackResult:
+    """Coarse-to-fine tracking: pyramid_levels-1 coarse passes feed the
+    full-resolution track_frame. Each level is its own jitted program
+    (static camera); the pose carries across levels, the best-candidate
+    bookkeeping restarts per level (loss scales differ across levels).
+    Returns the full-resolution result with iters_run accumulated."""
+    q, t = init_quat, init_trans
+    extra_iters = 0
+    coarse_iters = tcfg.pyramid_iters or tcfg.num_iters
+    for k in range(tcfg.pyramid_levels - 1, 0, -1):
+        cam_k = pyramid_cam(cam, k)
+        im_k, d_k = downsample_frame(gt_im, gt_depth, k)
+        tcfg_k = tcfg._replace(num_iters=coarse_iters, pyramid_levels=1,
+                               use_depth_loss_thres=False)
+        res = track_frame(params, alive, q, t, im_k, d_k, cam_k, rcfg,
+                          lcfg, tcfg_k)
+        q, t = res.quat, res.trans
+        extra_iters += int(res.iters_run)
+    res = track_frame(params, alive, q, t, gt_im, gt_depth, cam, rcfg,
+                      lcfg, tcfg._replace(pyramid_levels=1),
+                      binning=binning)
+    return res._replace(iters_run=res.iters_run + extra_iters)
 
 
 def initialize_camera_pose(cam_rots, cam_trans, time_idx: int,

@@ -21,7 +21,7 @@ import sys
 import tempfile
 
 
-def build_scene(H, W, map_iters):
+def build_scene(H, W, map_iters, tile_sub=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +48,8 @@ def build_scene(H, W, map_iters):
         num_iters=map_iters, lr_means3d=0.0001, lr_rgb_colors=0.0025,
         lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
         lr_log_scales=0.001,
-        prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+        prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500),
+        tile_subsample=tile_sub)
 
     key = jax.random.PRNGKey(0)
 
@@ -137,6 +138,8 @@ def main():
     ap.add_argument("--track", action="store_true",
                     help="profile tracking instead of mapping")
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--tile-sub", type=int, default=1,
+                    help="mapping.tile_subsample (fast-mapping mode)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -148,7 +151,7 @@ def main():
     import numpy as np
 
     (state, kf_colors, kf_depths, kf_quats, kf_trans, cam, rcfg, lcfg,
-     mcfg, frame) = build_scene(args.h, args.w, args.iters)
+     mcfg, frame) = build_scene(args.h, args.w, args.iters, args.tile_sub)
     print("n_gaussians:", int(jnp.sum(state.alive)), flush=True)
 
     rng = np.random.default_rng(0)

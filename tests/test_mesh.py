@@ -116,3 +116,39 @@ def test_end_to_end_gaussian_shell_mesh():
     assert len(f) > 500
     r = np.linalg.norm(sample_surface(v, f, 2000), axis=1)
     assert abs(np.median(r) - 0.6) < 0.1
+
+
+def test_zbuffer_depth_matches_analytic_sphere():
+    """Software z-buffer (mesh/zbuffer.py): rendering a marching-tets
+    sphere gives depth ~ analytic ray-sphere front intersection."""
+    from isogs_slam_tpu.mesh.zbuffer import render_mesh_depth
+    verts, faces = _sphere_mesh(r=0.5, n=48)
+    verts = verts + np.array([0.0, 0.0, 2.0], verts.dtype)  # push in front
+    W, H, f = 80, 64, 60.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float64)
+    w2c = np.eye(4)
+    depth = render_mesh_depth(verts, faces, w2c, K, W, H)
+    assert depth.shape == (H, W)
+    # center pixel: ray through sphere center -> front depth = 2 - 0.5
+    cyx = depth[H // 2 - 1: H // 2 + 1, W // 2 - 1: W // 2 + 1]
+    assert np.all(cyx > 0)
+    assert np.allclose(cyx, 1.5, atol=0.06), cyx
+    # analytic check across all hit pixels (ray-sphere front root)
+    ys, xs = np.nonzero(depth > 0)
+    d = depth[ys, xs]
+    # ray direction for pixel (x, y): ((x+0.5-cx)/f, (y+0.5-cy)/f, 1)
+    rx = (xs + 0.5 - W / 2) / f
+    ry = (ys + 0.5 - H / 2) / f
+    a = rx ** 2 + ry ** 2 + 1.0
+    b = -2.0 * 2.0  # -2 * dot(dir, center)=-2*dz*2 with dz=1 component
+    c = 4.0 - 0.25
+    disc = b * b - 4 * a * c
+    inside = disc > 0
+    t_front = (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a)
+    z_analytic = t_front  # z component of dir is 1 -> depth = t
+    err = np.abs(d[inside] - z_analytic[inside])
+    # mesh is a discretized sphere: allow ~1.5 voxel (2.4/48*1.5) error
+    assert np.median(err) < 0.05, np.median(err)
+    # hit points lie on (near) the sphere surface
+    assert (np.sqrt((rx * d) ** 2 + (ry * d) ** 2 + (d - 2.0) ** 2)
+            < 0.6).mean() > 0.95

@@ -74,10 +74,11 @@ def _subset_inputs(cam, gt_im, gt_depth):
     return gt_tiles, valid, interior
 
 
-def test_all_tiles_subset_matches_exact_loss_and_grads():
+@pytest.mark.parametrize("bwd", ["scatter", "segreduce"])
+def test_all_tiles_subset_matches_exact_loss_and_grads(bwd):
     cam = _cam()
     params, alive = _scene()
-    rcfg = RasterConfig(backend="xla", bwd_mode="scatter",
+    rcfg = RasterConfig(backend="xla", bwd_mode=bwd,
                         grad_scatter_bf16=False)
     gt_im, gt_depth = _gt(cam, params, alive, rcfg)
     gt_tiles, valid, interior = _subset_inputs(cam, gt_im, gt_depth)
@@ -96,7 +97,7 @@ def test_all_tiles_subset_matches_exact_loss_and_grads():
     mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
                                 q, t, False, False)
     proj = project_gaussians(mc, qc, params.log_scales, alive, cam)
-    binning = bin_gaussians(proj, cam, rcfg)
+    binning = bin_gaussians(proj, cam, rcfg, emit_exp=(bwd == "segreduce"))
 
     def subset_b(p):
         return compute_loss_subsampled(p, alive, q, t, gt_tiles, valid,
