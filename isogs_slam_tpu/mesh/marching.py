@@ -237,7 +237,18 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 
 def largest_component(verts: np.ndarray, faces: np.ndarray):
     """Keep the largest vertex-connected component (trimesh.split +
-    largest, extract_mesh_fast.py:445-466) and drop unreferenced verts."""
+    largest, extract_mesh_fast.py:445-466) and drop unreferenced verts.
+
+    Uses the native union-find (native/src/components.cpp) when the
+    library is built — the scipy sparse-adjacency fallback costs ~1 min
+    at 10^7 faces, the native path a few hundred ms."""
+    from .. import native_ext
+    if native_ext.available() and faces.shape[0]:
+        try:
+            return native_ext.largest_component_native(verts, faces)
+        except Exception as e:
+            print(f"[mesh] native largest_component failed ({e}); "
+                  f"falling back to scipy")
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components
 

@@ -44,6 +44,10 @@ def _load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64)]
     lib.mt_free.argtypes = [ctypes.c_void_p]
+    lib.mesh_largest_component.restype = ctypes.c_int64
+    lib.mesh_largest_component.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.npz_write.restype = ctypes.c_int
     lib.npz_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int,
@@ -92,6 +96,30 @@ def marching_tetrahedra_native(density: np.ndarray, level: float,
         if nf.value:
             lib.mt_free(fp)
     return verts, faces
+
+
+def largest_component_native(verts: np.ndarray, faces: np.ndarray):
+    """Drop-in for mesh.marching.largest_component: union-find in C++
+    (native/src/components.cpp) instead of a scipy sparse adjacency —
+    the 10^7-face postprocessing step of mesh extraction."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (native/build.sh)")
+    if faces.shape[0] == 0:
+        return verts, faces
+    f = np.ascontiguousarray(faces, np.int32)
+    V = verts.shape[0]
+    face_keep = np.empty(f.shape[0], np.int32)
+    new_index = np.empty(V, np.int32)
+    n_kept = lib.mesh_largest_component(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        f.shape[0], V,
+        face_keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        new_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n_kept < 0:
+        raise RuntimeError("mesh_largest_component failed (bad indices)")
+    kept_faces = new_index[f[face_keep.astype(bool)]]
+    return verts[new_index >= 0], kept_faces.astype(np.int32)
 
 
 _DTYPE_DESCR = {

@@ -10,7 +10,7 @@ if command -v cmake >/dev/null && command -v ninja >/dev/null; then
 else
   mkdir -p build_out
   g++ -O3 -march=native -std=c++17 -shared -fPIC \
-      src/marching_tets.cpp src/npz_io.cpp \
+      src/marching_tets.cpp src/npz_io.cpp src/components.cpp \
       -o build_out/libisogs_native.so
 fi
 echo "built native/build_out/libisogs_native.so"
