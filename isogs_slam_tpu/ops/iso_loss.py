@@ -100,7 +100,7 @@ class IsoKnnPool(NamedTuple):
 
 def build_iso_knn_pool(means, log_scales, alive, key, pool_size: int,
                        k: int, knn_method: str = "hash",
-                       hash_cap: int = 16, hash_table_size: int = 1 << 16,
+                       hash_cap: int = 24, hash_table_size: int = 0,
                        knn_block: int = 8192, grid=None) -> IsoKnnPool:
     """One batched KNN for `pool_size` random alive queries."""
     C = means.shape[0]
@@ -129,7 +129,7 @@ def iso_surface_loss(means: jnp.ndarray, unnorm_rotations: jnp.ndarray,
                      sample_size: int = 8192, k: int = 16,
                      target_saturation: float = 1.0,
                      knn_block: int = 8192, knn_method: str = "hash",
-                     hash_cap: int = 32, hash_table_size: int = 1 << 16,
+                     hash_cap: int = 32, hash_table_size: int = 0,
                      grid=None, pool: IsoKnnPool | None = None):
     """Sampled iso-surface density loss. Returns (loss, mean_density).
 

@@ -82,8 +82,24 @@ def default_cell_size(log_scales, alive, factor: float = 2.5):
     return jnp.clip(factor * med, 1e-4, 1e3)
 
 
-def build_hash_grid(points, alive, cell_size, table_size: int = 1 << 16
+def auto_table_size(n_points: int) -> int:
+    """Hash table slots scaled to the point-array capacity.
+
+    A fixed 2^16 table collides badly past ~10^5 points: occupied-cell
+    count approaches/exceeds the table, colliding cells share one
+    bucket, and the per-cell candidate cap then scans the WRONG cell's
+    points (measured: pool recall 0.88 at 500k points vs 0.98 with a
+    scaled table). One slot per point (next power of two, clamped to
+    [2^16, 2^21]) keeps the per-bucket load ~1 occupied cell."""
+    n = max(min(int(n_points), 1 << 21), 1 << 16)
+    return 1 << (n - 1).bit_length()
+
+
+def build_hash_grid(points, alive, cell_size, table_size: int = 0
                     ) -> HashGrid:
+    """table_size 0 = auto (auto_table_size of the point capacity)."""
+    if not table_size:
+        table_size = auto_table_size(points.shape[0])
     cells = _cell_coords(points, cell_size)
     h = _hash_cells(cells, table_size)
     h = jnp.where(alive, h, table_size)  # dead points sort past every bucket

@@ -47,8 +47,11 @@ class LossConfig(NamedTuple):
     calc_iso: bool = True    # mapping only
     knn_block: int = 8192
     knn_method: str = "hash"   # "hash" (spatial_hash.cu design) | "exact"
-    hash_cap: int = 16   # recall@16 = 0.99 at cell 2.5x spacing
-    hash_table_size: int = 1 << 16
+    # per-cell candidate cap: at 500k-point scale cap=16 loses the KNN
+    # tail (iso grad cosine 0.95 vs exact); 24 restores >= 0.99 on every
+    # param leaf for ~1.5x pool-gather cost (tests/test_iso_scale.py)
+    hash_cap: int = 24
+    hash_table_size: int = 0   # 0 = auto (spatial_hash.auto_table_size)
     # per-phase frozen KNN pool: compute neighbor indices ONCE per mapping
     # phase for iso_pool_size queries; iterations sample 8192 from the pool
     # (indices are order statistics — positions drift far less than the
