@@ -106,6 +106,31 @@ def _prune_mask(params: GaussianParams, alive, scene_radius, it,
     return jnp.where(do & pc.enabled, remove & alive, False)
 
 
+@functools.partial(jax.jit, static_argnames=("lcfg",))
+def build_phase_iso_pool(params: GaussianParams, alive, key,
+                         lcfg: LossConfig):
+    """Standalone per-phase iso-KNN pool builder (hash grid + batched
+    KNN). Used by the pipeline when mapping.iso_pool_refresh_phases > 1:
+    the pool's neighbor indices are order statistics over a slowly-
+    drifting map, and both queries and neighbors are alive-masked at
+    evaluation time, so reusing a pool for a few phases only skips
+    newly-added rows from the iso SAMPLE until the next refresh."""
+    from ..ops.iso_loss import build_iso_knn_pool
+    p0 = jax.tree.map(jax.lax.stop_gradient, params)
+    iso_grid = None
+    if lcfg.knn_method == "hash":
+        from ..ops.spatial_hash import build_hash_grid, default_cell_size
+        cell = default_cell_size(p0.log_scales, alive)
+        iso_grid = build_hash_grid(p0.means3d, alive, cell,
+                                   lcfg.hash_table_size)
+    return build_iso_knn_pool(
+        p0.means3d, p0.log_scales, alive, key,
+        pool_size=lcfg.iso_pool_size, k=lcfg.iso_k,
+        knn_method=lcfg.knn_method, hash_cap=lcfg.hash_cap,
+        hash_table_size=lcfg.hash_table_size, knn_block=lcfg.knn_block,
+        grid=iso_grid)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cam", "rcfg", "lcfg", "mcfg"),
                    donate_argnames=("state",))
@@ -117,7 +142,7 @@ def map_frame(state: MapState,
               iter_slots: jnp.ndarray,     # [num_iters] int32 slot per iter
               keys: jnp.ndarray,           # [num_iters] PRNG keys
               cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
-              mcfg: MappingConfig):
+              mcfg: MappingConfig, iso_pool=None):
     """Returns (new MapState, loss_log [num_iters, N_LOG], bin_stats [2] =
     [true-candidate intersections dropped by the per-tile cap, total
     intersections] summed over the phase's keyframe slots).
@@ -165,15 +190,17 @@ def map_frame(state: MapState,
                            jnp.sum(bins.n_isect)])
 
     # hash grid for the iso loss: built once per phase, reused every
-    # iteration (Gaussian drift within a phase << cell size)
+    # iteration (Gaussian drift within a phase << cell size). Skipped
+    # entirely when a prebuilt pool is passed in (the pool path never
+    # consults the grid) — mapping.iso_pool_refresh_phases amortizes the
+    # grid + pool build across phases.
     iso_grid = None
-    iso_pool = None
-    if lcfg.calc_iso and lcfg.knn_method == "hash":
+    if iso_pool is None and lcfg.calc_iso and lcfg.knn_method == "hash":
         from ..ops.spatial_hash import build_hash_grid, default_cell_size
         cell = default_cell_size(p0.log_scales, alive0)
         iso_grid = build_hash_grid(p0.means3d, alive0, cell,
                                    lcfg.hash_table_size)
-    if lcfg.calc_iso and lcfg.iso_pool_size > 0:
+    if iso_pool is None and lcfg.calc_iso and lcfg.iso_pool_size > 0:
         # per-phase frozen KNN pool (see LossConfig.iso_pool_size): one
         # batched KNN here replaces 27-cell candidate gathers + top-k in
         # every iteration — the dominant iso cost at N ~ 10^6

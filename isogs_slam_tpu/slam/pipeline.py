@@ -302,6 +302,9 @@ class SLAM:
         # online evaluation (eval_online + full report_progress,
         # eval_helpers.py:188-441): created lazily on first report
         self.online_eval = None
+        # cross-phase iso-KNN pool cache (_phase_iso_pool)
+        self._iso_pool = None
+        self._iso_pool_age = 0
         self._compact_every = cfg.get("compact_every", 50)
         # multi-chip mapping over a view mesh (config["parallel"]["map_views"])
         self._map_views = int(cfg.get("parallel", {}).get("map_views", 0))
@@ -346,11 +349,38 @@ class SLAM:
         if self._track_bins is not None:
             self._track_bins.invalidate()
 
+    def _invalidate_iso_pool(self):
+        """Row indices changed (compaction / growth): a cached cross-phase
+        iso pool would point at the wrong Gaussians."""
+        self._iso_pool = None
+        self._iso_pool_age = 0
+
+    def _phase_iso_pool(self):
+        """Cross-phase iso-KNN pool amortization
+        (mapping.iso_pool_refresh_phases, default 1 = build inside
+        map_frame every phase, exact round-1 semantics). Pool rows are
+        alive-masked at evaluation, so staleness across a few phases only
+        delays newly-densified rows' entry into the iso sample."""
+        refresh = int(self.config["mapping"].get("iso_pool_refresh_phases",
+                                                 1))
+        lcfg = self.lcfg_map
+        if refresh <= 1 or not (lcfg.calc_iso and lcfg.iso_pool_size > 0):
+            return None
+        if self._iso_pool is None or self._iso_pool_age >= refresh:
+            from .mapping import build_phase_iso_pool
+            self._iso_pool = build_phase_iso_pool(
+                self.state.params, self.state.alive, self._next_key(),
+                lcfg)
+            self._iso_pool_age = 0
+        self._iso_pool_age += 1
+        return self._iso_pool
+
     def _ensure_capacity(self, needed_extra: int):
         used = int(self.state.hwm)
         cap = self.state.capacity
         if used + needed_extra > cap:
             self._map_changed()
+            self._invalidate_iso_pool()   # compaction/growth permute rows
             # compaction re-packs pruned rows and lowers hwm without
             # changing shapes (no re-jit); prefer it when it frees enough
             n_alive = int(self.state.num_alive())
@@ -529,7 +559,7 @@ class SLAM:
         self.state, log, bin_stats = map_frame(
             self.state, kf_colors, kf_depths, kf_quats,
             kf_trans, iter_slots, keys, self.cam, self.rcfg,
-            self.lcfg_map, self.mcfg)
+            self.lcfg_map, self.mcfg, iso_pool=self._phase_iso_pool())
         self._check_tile_cap(bin_stats)
         return log
 
@@ -711,6 +741,7 @@ class SLAM:
                 # periodic compaction of pruned rows
                 if (time_idx + 1) % self._compact_every == 0:
                     self._map_changed()
+                    self._invalidate_iso_pool()
                     self.state = jax.jit(G.compact,
                                          donate_argnums=0)(self.state)
 

@@ -338,7 +338,7 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
     bookkeeping restarts per level (loss scales differ across levels).
     Returns the full-resolution result with iters_run accumulated."""
     q, t = init_quat, init_trans
-    extra_iters = 0
+    coarse_logs = []
     coarse_iters = tcfg.pyramid_iters or tcfg.num_iters
     for k in range(tcfg.pyramid_levels - 1, 0, -1):
         cam_k = pyramid_cam(cam, k)
@@ -348,11 +348,16 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
         res = track_frame(params, alive, q, t, im_k, d_k, cam_k, rcfg,
                           lcfg, tcfg_k)
         q, t = res.quat, res.trans
-        extra_iters += int(res.iters_run)
+        coarse_logs.append(res.loss_log[: int(res.iters_run)])
     res = track_frame(params, alive, q, t, gt_im, gt_depth, cam, rcfg,
                       lcfg, tcfg._replace(pyramid_levels=1),
                       binning=binning)
-    return res._replace(iters_run=res.iters_run + extra_iters)
+    # one contiguous log so iters_run always indexes valid rows
+    # (consumers read log[iters_run - 1])
+    extra = sum(r.shape[0] for r in coarse_logs)
+    return res._replace(
+        iters_run=res.iters_run + extra,
+        loss_log=jnp.concatenate(coarse_logs + [res.loss_log]))
 
 
 def initialize_camera_pose(cam_rots, cam_trans, time_idx: int,

@@ -125,3 +125,25 @@ def test_adaptive_tile_cap_escalation(tmp_path):
     slam2._check_tile_cap(jnp.asarray([100, 1000]))
     assert slam2.rcfg.max_per_tile == K               # warns only
     assert slam2._warned_tile_cap
+
+
+@pytest.mark.slow
+def test_slam_fast_modes_end_to_end(tmp_path):
+    """Opt-in speed modes together (tile_subsample + cross-phase iso pool
+    + pyramid tracking): the pipeline plumbing runs and quality stays in
+    the same band as the exact path at toy scale."""
+    cfg = _tiny_config(tmp_path)
+    cfg["run_name"] = "e2e_fast"
+    cfg["mapping"]["tile_subsample"] = 2
+    cfg["mapping"]["iso_pool_refresh_phases"] = 3
+    cfg["tracking"]["pyramid_levels"] = 2
+    cfg["tracking"]["pyramid_iters"] = 5
+    slam = SLAM(cfg)
+    slam.run()
+    results = eval_sequence(slam.dataset, slam, slam.eval_dir,
+                            sil_thres=0.5, mapping_iters=12,
+                            add_new_gaussians=True, eval_every=2,
+                            make_plots=False)
+    assert np.isfinite(results["Final Average ATE RMSE (cm)"])
+    assert results["Final Average ATE RMSE (cm)"] < 10.0, results
+    assert results["Average PSNR"] > 17.0, results

@@ -18,7 +18,8 @@ from isogs_slam_tpu.slam.tracking import (TrackingConfig, downsample_frame,
                                           track_frame_pyramid)
 from isogs_slam_tpu.utils.transforms import transform_to_frame
 
-pytestmark = pytest.mark.smoke  # sub-5-min CI subset
+# only the cheap conventions test is in the smoke set; the
+# recovery test renders repeatedly (~80 s on CPU)
 
 H, W = 96, 128
 FX = 110.0
@@ -42,6 +43,7 @@ def _scene(n=1024, seed=11):
     return params, jnp.ones(n, bool)
 
 
+@pytest.mark.smoke
 def test_pyramid_cam_and_downsample_conventions():
     cam = _cam()
     c1 = pyramid_cam(cam, 1)

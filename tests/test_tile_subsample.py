@@ -22,7 +22,6 @@ from isogs_slam_tpu.slam.losses import (LossConfig, compute_loss,
                                         compute_loss_subsampled)
 from isogs_slam_tpu.utils.transforms import transform_to_frame
 
-pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 H, W = 96, 128   # multiples of TILE=16: every pixel valid, no boundary
 FX = 90.0
