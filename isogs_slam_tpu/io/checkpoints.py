@@ -44,6 +44,15 @@ def save_checkpoint(output_dir: str, time_idx: int, gauss_params: dict,
             [np.asarray(g, np.float32) for g in gt_w2c_all_frames])
     out["keyframe_time_indices"] = np.asarray(keyframe_time_indices,
                                               np.int64)
+    # C++-writer compat (io.cpp:108-109): sh_coeffs_flat [N,48] with SH0
+    # derived from rgb via rgb = C0*sh0 + 0.5, higher bands zero (the
+    # pipeline stores raw RGB; 3DGS viewers and the C++ loader read SH)
+    if "rgb_colors" in out and "sh_coeffs_flat" not in out:
+        C0 = 0.28209479177387814
+        rgb = out["rgb_colors"]
+        sh = np.zeros((rgb.shape[0], 48), np.float32)
+        sh[:, 0:3] = (rgb - 0.5) / C0
+        out["sh_coeffs_flat"] = sh
     path = os.path.join(output_dir, f"params{time_idx}.npz")
     try:  # native cnpy-role writer when built (native/build.sh)
         from ..native_ext import available, npz_write_native

@@ -106,6 +106,18 @@ def test_checkpoint_auto_resume(tmp_path):
     slam2.run()
     assert np.isfinite(slam2.cam_trans).all()
 
+    # checkpoint carries the C++ writer's sh_coeffs_flat compat key
+    # (cpp/src/utils/io.cpp:108-109): SH0 inverts to the stored rgb
+    import glob
+    import os
+    ck = sorted(glob.glob(os.path.join(slam2.output_dir, "params*.npz")))
+    data = np.load(ck[-1])
+    assert data["sh_coeffs_flat"].shape == (data["rgb_colors"].shape[0], 48)
+    C0 = 0.28209479177387814
+    np.testing.assert_allclose(
+        data["sh_coeffs_flat"][:, :3] * C0 + 0.5, data["rgb_colors"],
+        atol=1e-5)
+
 
 @pytest.mark.slow
 def test_multiview_map_phase_e2e(tmp_path):
