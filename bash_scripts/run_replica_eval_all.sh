@@ -16,3 +16,16 @@ print(f"{scene},{d.get('Final Average ATE RMSE (cm)','')},"
 PY
 done
 cat "$OUT"
+
+# mechanical comparison against the recorded reference numbers (room0 is
+# the only scene with published baseline values; see
+# configs/replica/expected_metrics.json)
+summaries=()
+for scene in room0 room1 room2 office0 office1 office2 office3 office4; do
+  f="experiments/Replica/${scene}_0/eval/eval_summary.json"
+  [ -f "$f" ] && summaries+=("${scene}=${f}")
+done
+if [ "${#summaries[@]}" -gt 0 ]; then
+  python -m isogs_slam_tpu.tools.compare_expected \
+      configs/replica/expected_metrics.json "${summaries[@]}"
+fi
