@@ -42,3 +42,39 @@ def _grp_bwd(res, dg):
 
 
 gather_rows_planar.defvjp(_grp_fwd, _grp_bwd)
+
+
+def gather_slices(table: jnp.ndarray, starts: jnp.ndarray, size: int
+                  ) -> jnp.ndarray:
+    """Contiguous-window gather: table[starts[i] : starts[i]+size] for each
+    start, as ONE XLA gather whose slice_sizes carry the window — one index
+    per WINDOW instead of one per row. TPU random access is index-serial
+    (~8 ns/index, NOTES.md lever 1e), so fetching S windows of `size` rows
+    this way costs ~S indices + bandwidth, vs S*size indices for the
+    equivalent element/row gather (the spatial-hash bucket fetch and the
+    binning slot-window gather are exactly this shape).
+
+    table [R] or [R, C]; starts any int shape; returns
+    starts.shape + (size,) (+ (C,)). Starts are CLAMPED to [0, R-size]
+    (XLA gather semantics): callers whose real windows can overrun the end
+    must pad `table` so clamping only ever hits masked/sentinel windows.
+    Forward-only (no differentiability; all users gather integer ids /
+    stop-gradient records).
+    """
+    sshape = starts.shape
+    idx = starts.reshape(-1, 1).astype(jnp.int32)
+    if table.ndim == 1:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        out = jax.lax.gather(table, idx, dnums, slice_sizes=(size,),
+                             mode=jax.lax.GatherScatterMode.CLIP)
+        return out.reshape(sshape + (size,))
+    assert table.ndim == 2
+    C = table.shape[1]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    out = jax.lax.gather(table, idx, dnums, slice_sizes=(size, C),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(sshape + (size, C))

@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .gather import gather_slices
+
 _P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
 
 
@@ -129,7 +131,6 @@ def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
     candidate ranking uses phase-start positions, the same staleness the
     frozen cells already carry; density values always use current params.
     """
-    C = points.shape[0]
     qcells = _cell_coords(queries, grid.cell_size)            # [Q,3]
     # 27 neighbor cells
     d = jnp.arange(-1, 2, dtype=jnp.int32)
@@ -142,10 +143,18 @@ def knn_hash(grid: HashGrid, points, queries, k: int, cap: int = 24):
     e = grid.ends[nh]
     slots = s[..., None] + jnp.arange(cap, dtype=jnp.int32)   # [Q,27,cap]
     in_bucket = slots < e[..., None]
-    slots = jnp.clip(slots, 0, C - 1)
 
-    # ONE fused row gather for (cell, id, xyz) — see HashGrid.rec
-    recs = grid.rec[slots]                                    # [Q,27,cap,5]
+    # Each bucket's `cap` candidate rows are CONSECUTIVE in the hash-sorted
+    # record table, so fetch them as Q*27 slice-windows (one index per
+    # bucket) instead of Q*27*cap row indices — random access is index-
+    # serial on TPU (ops/gather.gather_slices). The `cap` sentinel pad rows
+    # keep end-of-array buckets from clamping onto real rows (their cell
+    # field -1 never matches a packed cell, which is >= 0).
+    pad = jnp.zeros((cap, 5), grid.rec.dtype)
+    pad = pad.at[:, 0].set(
+        jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32))
+    recs = gather_slices(jnp.concatenate([grid.rec, pad]), s, cap)
+    #                                                   [Q,27,cap,5]
     bci = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
     cand_cell = bci(recs[..., 0])                             # [Q,27,cap]
     # exact-cell check kills hash collisions AND duplicate candidates
