@@ -52,6 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera, TILE
+from .gather import gather_slices
 
 # CUDA-kernel constants (match diff-gaussian-rasterization)
 NEAR_CULL_Z = 0.2
@@ -372,19 +373,21 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
     count_true = ends_true - starts
     tile_count = jnp.minimum(full_count, K)
 
-    slots = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    slots = jnp.clip(slots, 0, M - 1)
-
     n_overflow = jnp.maximum(total - M, 0) + jnp.sum(full_count - tile_count)
     n_true_overflow = jnp.sum(jnp.maximum(count_true - K, 0))
     slot_exp_pos = exp_offsets = None
+    # Each tile's K slots are CONSECUTIVE rows [starts, starts+K) of the
+    # sorted arrays, so extract them as T slice-windows — one gather index
+    # per TILE instead of per slot (random access is index-serial on TPU,
+    # ops/gather.gather_slices). K pad rows absorb windows that overrun M
+    # (starts <= M by construction): pad gauss id 0 stays in-bounds for
+    # downstream table gathers and pad pos = M is the drop sentinel —
+    # both only surface at k >= tile_count, which every consumer masks.
     if emit_exp:
-        # ONE [M, 2] record gather instead of two [T*K] element gathers
-        # (gather cost is per ROW — the second column rides along free;
-        # measured ~20 ms/slot saved at M = 3M)
-        pair = jnp.stack([sorted_gauss, sorted_pos], axis=-1)
-        both = pair[slots]                         # [num_tiles, K, 2]
-        tile_gauss = both[..., 0]
+        pair = jnp.stack([sorted_gauss, sorted_pos], axis=-1)   # [M, 2]
+        pad = jnp.zeros((K, 2), pair.dtype).at[:, 1].set(M)
+        both = gather_slices(jnp.concatenate([pair, pad]), starts, K)
+        tile_gauss = both[..., 0]                  # [num_tiles, K]
         # padding slots (k >= count) alias later tiles' sorted entries;
         # send them to the out-of-bounds sentinel M so the backward's
         # unique scatter drops them (mode='drop')
@@ -397,7 +400,10 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
         exp_offsets = jnp.minimum(
             jnp.concatenate([offs, total[None]]), M).astype(jnp.int32)
     else:
-        tile_gauss = sorted_gauss[slots]           # [num_tiles, K]
+        tile_gauss = gather_slices(
+            jnp.concatenate([sorted_gauss,
+                             jnp.zeros((K,), sorted_gauss.dtype)]),
+            starts, K)                             # [num_tiles, K]
     return Binning(tile_gauss=tile_gauss, tile_count=tile_count,
                    n_isect=total, n_overflow=n_overflow,
                    n_true_overflow=n_true_overflow,
