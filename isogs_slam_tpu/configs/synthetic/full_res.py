@@ -62,6 +62,9 @@ config = dict(
         num_iters=40,
         # anneal the pose-optimizer bounce (see TrackingConfig.lr_decay)
         lr_decay=0.92,
+        # point-to-plane ICP GN polish after the Adam loop (slam/icp.py):
+        # second-order depth alignment below the photometric trough bias
+        gn_iters=3,
         use_sil_for_loss=True,
         # single-sheet synthetic walls: the iso density target pulls the
         # rendered silhouette toward ~0.9, so a 0.9 threshold leaves the

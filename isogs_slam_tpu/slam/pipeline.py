@@ -178,6 +178,8 @@ def _tracking_cfg(config) -> TrackingConfig:
         use_depth_loss_thres=t.get("use_depth_loss_thres", False),
         depth_loss_thres=t.get("depth_loss_thres", 100000),
         lr_decay=t.get("lr_decay", 1.0),
+        gn_iters=t.get("gn_iters", 0),
+        gn_damping=t.get("gn_damping", 1e-3),
         pyramid_levels=t.get("pyramid_levels", 1),
         pyramid_iters=t.get("pyramid_iters", 0),
         bin_margin_px=t.get("bin_margin_px", 8.0),

@@ -74,6 +74,13 @@ class TrackingConfig(NamedTuple):
     # bounce: same loss, strictly tighter final pose. 1.0 = reference
     # behavior.
     lr_decay: float = 1.0
+    # Point-to-plane ICP Gauss-Newton polish (0 = off = reference parity):
+    # after the Adam loop, gn_iters damped GN steps on the depth channel
+    # with the analytic SE(3) Jacobian (slam/icp.py) refine the best pose
+    # below the photometric trough bias; accepted only if the point-to-
+    # plane RMS decreased. One forward render per step, no backward.
+    gn_iters: int = 0
+    gn_damping: float = 1e-3
     # Coarse-to-fine tracking (1 = off = reference parity): run
     # pyramid_levels-1 coarse passes on 2x-downsampled image pyramids
     # before the full-resolution pass. Widens the photometric convergence
@@ -300,7 +307,37 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                      doubled=doubled, done=done, log=log)
 
     final = jax.lax.while_loop(cond, body, init)
-    return TrackResult(quat=final.best_pose[0], trans=final.best_pose[1],
+    best_q, best_t = final.best_pose
+
+    if tcfg.gn_iters > 0:
+        from .icp import GNConfig, gn_depth_polish
+        if tcfg.rebin_every_iter:
+            # the exact-rebin path never built a slot table: bin + gather
+            # once at the converged pose for the polish renders
+            from ..ops.rasterize import (bin_gaussians, gather_raw_table,
+                                         project_gaussians)
+            from ..utils.transforms import transform_to_frame
+            mc1, qc1 = transform_to_frame(params.means3d,
+                                          params.unnorm_rotations,
+                                          best_q, best_t,
+                                          gaussians_grad=False,
+                                          camera_grad=False)
+            proj1 = project_gaussians(mc1, qc1, params.log_scales, alive,
+                                      cam, margin_px=tcfg.bin_margin_px)
+            b1 = bin_gaussians(proj1, cam, rcfg)
+            gn_raw, gn_counts = gather_raw_table(params,
+                                                 b1.tile_gauss), b1.tile_count
+        else:
+            gn_raw, gn_counts = raw, counts
+        gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping,
+                        sil_thres=min(lcfg.sil_thres, 0.9))
+        pq, pt, c0, c1 = gn_depth_polish(gn_raw, gn_counts, best_q, best_t,
+                                         gt_depth, cam, rcfg, gcfg)
+        accept = c1 < c0
+        best_q = jnp.where(accept, pq, best_q)
+        best_t = jnp.where(accept, pt, best_t)
+
+    return TrackResult(quat=best_q, trans=best_t,
                        iters_run=final.it, loss_log=final.log)
 
 

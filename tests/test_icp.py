@@ -1,0 +1,178 @@
+"""Point-to-plane ICP GN pose polish (slam/icp.py).
+
+Scene: an axis-aligned corner (back wall + floor + side wall) of opaque
+Gaussians — planar structure with three independent normal directions so
+all 6 pose DoF are constrained. gt_depth is the map's own render at the
+true pose; the polish must pull a perturbed pose back well below the
+perturbation, and track_frame(gn_iters>0) must beat the pure-Adam floor.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isogs_slam_tpu.core.camera import Camera
+from isogs_slam_tpu.core.gaussians import GaussianParams
+from isogs_slam_tpu.ops.rasterize import (RasterConfig, bin_gaussians,
+                                          gather_raw_table,
+                                          project_gaussians,
+                                          render_rgbd_sil_slots)
+from isogs_slam_tpu.slam.icp import (GNConfig, apply_increment,
+                                     backproject_grid, gn_depth_polish,
+                                     normals_from_points)
+from isogs_slam_tpu.utils.transforms import (pose_to_w2c, quat_mult,
+                                             transform_to_frame)
+
+pytestmark = pytest.mark.smoke
+
+H, W = 64, 80
+
+
+def _corner_scene(spacing=0.08, scale=0.09):
+    """Back wall z=2.6, floor y=0.55, side wall x=0.9 (camera at origin
+    looking +z)."""
+    rng = np.random.default_rng(7)
+    pts = []
+    xs = np.arange(-1.7, 1.7, spacing)
+    ys = np.arange(-1.4, 1.4, spacing)
+    zs = np.arange(0.8, 2.8, spacing)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts.append(np.stack([gx.ravel(), gy.ravel(),
+                         np.full(gx.size, 2.6)], axis=1))       # back wall
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    pts.append(np.stack([gx.ravel(), np.full(gx.size, 0.55),
+                         gz.ravel()], axis=1))                  # floor
+    gy, gz = np.meshgrid(ys, zs, indexing="ij")
+    pts.append(np.stack([np.full(gy.size, 0.9), gy.ravel(),
+                         gz.ravel()], axis=1))                  # side wall
+    pts = np.concatenate(pts).astype(np.float32)
+    n = pts.shape[0]
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    params = GaussianParams(
+        means3d=jnp.asarray(pts),
+        rgb_colors=jnp.asarray(rng.uniform(0.2, 0.9, (n, 3)), jnp.float32),
+        unnorm_rotations=jnp.asarray(quats),
+        logit_opacities=jnp.full((n, 1), 4.0, jnp.float32),
+        log_scales=jnp.full((n, 3), np.log(scale), jnp.float32))
+    alive = jnp.ones(n, bool)
+    K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]])
+    cam = Camera.from_intrinsics(K, W, H)
+    return cam, params, alive
+
+
+def _slot_table(cam, params, alive, quat, trans, rcfg, margin=8.0):
+    mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                quat, trans, False, False)
+    proj = project_gaussians(mc, qc, params.log_scales, alive, cam,
+                             margin_px=margin)
+    b = bin_gaussians(proj, cam, rcfg)
+    return gather_raw_table(params, b.tile_gauss), b.tile_count
+
+
+def _pose_err(q, t, q_gt, t_gt):
+    """(rotation angle rad, translation m) between two w2c poses."""
+    Ta = np.asarray(pose_to_w2c(jnp.asarray(q) / jnp.linalg.norm(q),
+                                jnp.asarray(t)))
+    Tb = np.asarray(pose_to_w2c(jnp.asarray(q_gt), jnp.asarray(t_gt)))
+    dR = Ta[:3, :3] @ Tb[:3, :3].T
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    # camera-center error, not w2c-translation difference
+    ca = -Ta[:3, :3].T @ Ta[:3, 3]
+    cb = -Tb[:3, :3].T @ Tb[:3, 3]
+    return ang, np.linalg.norm(ca - cb)
+
+
+def test_apply_increment_matches_matrix_composition():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=4), jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    t = jnp.asarray(rng.normal(size=3), jnp.float32)
+    delta = jnp.asarray(0.1 * rng.normal(size=6), jnp.float32)
+    q2, t2 = apply_increment(q, t, delta)
+    T2 = np.asarray(pose_to_w2c(q2 / jnp.linalg.norm(q2), t2))
+    # reference: Exp(delta) @ w2c with Rodrigues
+    w = np.asarray(delta[:3], np.float64)
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    R = (np.eye(3) + np.sin(th) / th * K
+         + (1 - np.cos(th)) / th**2 * (K @ K))
+    E = np.eye(4)
+    E[:3, :3] = R
+    E[:3, 3] = np.asarray(delta[3:])
+    T_ref = E @ np.asarray(pose_to_w2c(q, t))
+    np.testing.assert_allclose(T2, T_ref, atol=1e-5)
+
+
+def test_plane_normals_exact():
+    cam, _, _ = _corner_scene()
+    # synthetic depth of the plane z = 2 (camera-aligned): normal (0,0,-1)
+    d = jnp.full((H, W), 2.0)
+    pts = backproject_grid(d, cam)
+    n, ok = normals_from_points(pts, jnp.ones((H, W), bool))
+    assert bool(jnp.all(ok[1:-1, 1:-1]))
+    inner = np.asarray(n[1:-1, 1:-1])
+    np.testing.assert_allclose(inner[..., 2], -1.0, atol=1e-5)
+
+
+def test_gn_polish_recovers_perturbed_pose():
+    cam, params, alive = _corner_scene()
+    rcfg = RasterConfig(backend="xla", isect_per_gaussian=24.0)
+    q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.asarray([0.0, 0.0, 0.0])
+    raw_gt, counts_gt = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
+    _, depth_gt, sil, _, _ = render_rgbd_sil_slots(
+        raw_gt, counts_gt, q_gt, t_gt, cam, rcfg)
+    assert float(jnp.mean((sil > 0.9).astype(jnp.float32))) > 0.9
+    gt_depth = depth_gt * (sil > 0.5)                  # [1, H, W]
+
+    # ~1.3 cm translation + ~0.8 deg rotation perturbation
+    dq = jnp.asarray([1.0, 0.006, -0.009, 0.007])
+    q0 = quat_mult(dq / jnp.linalg.norm(dq), q_gt)
+    t0 = t_gt + jnp.asarray([0.008, -0.006, 0.009])
+    ang0, tr0 = _pose_err(q0, t0, q_gt, t_gt)
+
+    raw, counts = _slot_table(cam, params, alive, q0, t0, rcfg)
+    gcfg = GNConfig(iters=6, damping=1e-3)
+    q1, t1, c0, c1 = gn_depth_polish(raw, counts, q0, t0, gt_depth,
+                                     cam, rcfg, gcfg)
+    assert float(c1) < float(c0)
+    ang1, tr1 = _pose_err(np.asarray(q1), np.asarray(t1),
+                          q_gt, t_gt)
+    assert tr1 < tr0 / 5, (tr0, tr1)
+    assert ang1 < ang0 / 5, (ang0, ang1)
+    assert tr1 < 0.002, tr1            # < 2 mm camera-center error
+
+
+def test_track_frame_gn_beats_adam_floor():
+    from isogs_slam_tpu.slam.losses import LossConfig
+    from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
+
+    cam, params, alive = _corner_scene()
+    rcfg = RasterConfig(backend="xla", isect_per_gaussian=24.0)
+    q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.asarray([0.0, 0.0, 0.0])
+    raw_gt, counts_gt = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
+    im_gt, depth_gt, sil, _, _ = render_rgbd_sil_slots(
+        raw_gt, counts_gt, q_gt, t_gt, cam, rcfg)
+    gt_depth = depth_gt * (sil > 0.5)
+
+    dq = jnp.asarray([1.0, 0.004, -0.006, 0.005])
+    q0 = quat_mult(dq / jnp.linalg.norm(dq), q_gt)
+    t0 = t_gt + jnp.asarray([0.006, -0.004, 0.006])
+
+    lcfg = LossConfig(tracking=True, use_sil_for_loss=True, sil_thres=0.9,
+                      use_l1=True, ignore_outlier_depth_loss=False,
+                      w_im=0.5, w_depth=1.0, calc_iso=False)
+    base = TrackingConfig(num_iters=12, lr_quat=2e-3, lr_trans=2e-3,
+                          bin_margin_px=8.0)
+    res_adam = track_frame(params, alive, q0, t0, im_gt, gt_depth,
+                           cam, rcfg, lcfg, base)
+    res_gn = track_frame(params, alive, q0, t0, im_gt, gt_depth,
+                         cam, rcfg, lcfg, base._replace(gn_iters=4))
+    _, tr_adam = _pose_err(np.asarray(res_adam.quat),
+                           np.asarray(res_adam.trans), q_gt, t_gt)
+    _, tr_gn = _pose_err(np.asarray(res_gn.quat),
+                         np.asarray(res_gn.trans), q_gt, t_gt)
+    assert tr_gn < tr_adam / 2, (tr_adam, tr_gn)
+    assert tr_gn < 0.002, tr_gn
