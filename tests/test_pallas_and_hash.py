@@ -108,3 +108,26 @@ def test_iso_hash_gradients_finite_with_dead_rows():
     assert np.isfinite(float(v))
     for gg in g:
         assert int(jnp.sum(~jnp.isfinite(gg))) == 0
+
+
+def test_gather_slices_windows():
+    """gather_slices == table[start:start+size] for in-range starts, in 1D
+    and 2D; starts at/near the end clamp to the last full window (callers
+    pad with sentinel rows so clamping never touches real data)."""
+    from isogs_slam_tpu.ops.gather import gather_slices
+    rng = np.random.default_rng(3)
+    R, C, S = 97, 5, 4
+    tbl2 = jnp.asarray(rng.normal(size=(R, C)), jnp.float32)
+    tbl1 = tbl2[:, 0]
+    starts = jnp.asarray([0, 1, 50, R - S, R - 1, R + 10], jnp.int32)
+    out2 = np.asarray(gather_slices(tbl2, starts, S))
+    out1 = np.asarray(gather_slices(tbl1, starts, S))
+    t2 = np.asarray(tbl2)
+    for i, s in enumerate(np.asarray(starts)):
+        s_cl = min(max(int(s), 0), R - S)          # XLA CLIP semantics
+        np.testing.assert_array_equal(out2[i], t2[s_cl:s_cl + S])
+        np.testing.assert_array_equal(out1[i], t2[s_cl:s_cl + S, 0])
+    # arbitrary starts shape is preserved
+    st = jnp.zeros((3, 7), jnp.int32)
+    assert gather_slices(tbl2, st, S).shape == (3, 7, S, C)
+    assert gather_slices(tbl1, st, S).shape == (3, 7, S)
