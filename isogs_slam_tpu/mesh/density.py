@@ -169,6 +169,18 @@ def density_grid(means, log_scales, unnorm_rotations, logit_opacities,
         -2.0 * means[:, 0], -2.0 * means[:, 1], -2.0 * means[:, 2],
         jnp.sum(means * means, axis=1) - trunc * trunc], axis=-1)
 
+    table = jnp.concatenate(
+        [coeff, eucl, op[:, None]], axis=-1)                 # [N, 21]
+    dens = _dens_for_blocks(table, lists, count, spec, block_chunk)
+    return _assemble(dens, spec), overflow
+
+
+def _dens_for_blocks(table, lists, count, spec: GridSpec, block_chunk: int,
+                     base_block: int = 0):
+    """Density of blocks [base_block, base_block + lists.shape[0]), one
+    [P, 10] @ [10, K] MXU contraction per block, lax.map'ed in chunks of
+    block_chunk. Shared by the serial path and the shard_map'ed path
+    (where each device owns a contiguous block range)."""
     B = spec.block
     P = B * B * B
     bd = spec.block_dims
@@ -178,9 +190,6 @@ def density_grid(means, log_scales, unnorm_rotations, logit_opacities,
     oz = jax.lax.broadcasted_iota(jnp.int32, (B, B, B), 2).reshape(-1)
     origin = jnp.asarray(spec.origin)
     spacing = jnp.asarray(spec.spacing)
-
-    table = jnp.concatenate(
-        [coeff, eucl, op[:, None]], axis=-1)                 # [N, 21]
 
     def block_density(bidx, glist, gcount):
         bx = bidx // (bd[1] * bd[2])
@@ -202,9 +211,9 @@ def density_grid(means, log_scales, unnorm_rotations, logit_opacities,
         dens = jnp.where(valid, data[None, :, 20] * jnp.exp(-0.5 * quad), 0.0)
         return jnp.sum(dens, axis=-1)                         # [P]
 
-    nb = spec.num_blocks
+    nb = lists.shape[0]
     pad = (-nb) % block_chunk
-    bidxs = jnp.arange(nb + pad, dtype=jnp.int32)
+    bidxs = base_block + jnp.arange(nb + pad, dtype=jnp.int32)
     glists = jnp.concatenate(
         [lists, jnp.zeros((pad,) + lists.shape[1:], lists.dtype)])
     gcounts = jnp.concatenate([count, jnp.zeros((pad,), count.dtype)])
@@ -215,13 +224,73 @@ def density_grid(means, log_scales, unnorm_rotations, logit_opacities,
         (bidxs.reshape(n_chunks, block_chunk),
          glists.reshape(n_chunks, block_chunk, -1),
          gcounts.reshape(n_chunks, block_chunk)))
-    dens = dens.reshape(nb + pad, P)[:nb]
+    return dens.reshape(nb + pad, P)[:nb]
 
-    # scatter block-voxel densities into the [dims] grid (pad-cropped)
+
+def _assemble(dens, spec: GridSpec):
+    """[num_blocks, P] block densities -> [dims] grid (pad-cropped)."""
+    B = spec.block
+    bd = spec.block_dims
     full = dens.reshape(bd[0], bd[1], bd[2], B, B, B)
     full = full.transpose(0, 3, 1, 4, 2, 5).reshape(
         bd[0] * B, bd[1] * B, bd[2] * B)
-    return full[: spec.dims[0], : spec.dims[1], : spec.dims[2]], overflow
+    return full[: spec.dims[0], : spec.dims[1], : spec.dims[2]]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "max_isect", "max_per_block",
+                                    "truncate_sigma", "block_chunk",
+                                    "n_devices"))
+def density_grid_sharded(means, log_scales, unnorm_rotations,
+                         logit_opacities, alive, spec: GridSpec,
+                         max_isect: int, n_devices: int,
+                         max_per_block: int = 256,
+                         truncate_sigma: float = 3.0,
+                         min_scale: float = 1e-5, block_chunk: int = 32):
+    """density_grid with the block axis shard_map'ed over an n_devices
+    mesh: blocks are embarrassingly parallel (the reference's per-block
+    host loop, extract_mesh_fast.py:191-386), so each device evaluates a
+    contiguous block range against the replicated coefficient table and
+    the grid is reassembled from the all-gathered shards. Binning runs
+    replicated (one sort; it is a small fraction of the density pass)."""
+    from jax.sharding import Mesh, PartitionSpec as PS
+    from jax.experimental.shard_map import shard_map
+
+    coeff, op, max_scale = density_coefficients(
+        means, log_scales, unnorm_rotations, logit_opacities, min_scale)
+    trunc = truncate_sigma * max_scale
+    op = jnp.where(alive, op, 0.0)
+    trunc = jnp.where(alive, trunc, 0.0)
+    lists, count, overflow = _bin_to_blocks(
+        means, trunc, spec, max_isect, max_per_block)
+    eucl = jnp.stack([
+        jnp.ones_like(op), jnp.ones_like(op), jnp.ones_like(op),
+        jnp.zeros_like(op), jnp.zeros_like(op), jnp.zeros_like(op),
+        -2.0 * means[:, 0], -2.0 * means[:, 1], -2.0 * means[:, 2],
+        jnp.sum(means * means, axis=1) - trunc * trunc], axis=-1)
+    table = jnp.concatenate([coeff, eucl, op[:, None]], axis=-1)
+
+    nb = spec.num_blocks
+    pad = (-nb) % (n_devices * block_chunk)
+    lists_p = jnp.concatenate(
+        [lists, jnp.zeros((pad,) + lists.shape[1:], lists.dtype)])
+    # padding blocks carry count 0 -> density 0; their bidx aliases block
+    # coordinates past bd, which only affects their (discarded) voxels
+    count_p = jnp.concatenate([count, jnp.zeros((pad,), count.dtype)])
+    per_dev = (nb + pad) // n_devices
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("blocks",))
+
+    def shard_fn(tbl, ls, ct, base):
+        return _dens_for_blocks(tbl, ls, ct, spec, block_chunk,
+                                base_block=base[0])
+
+    bases = jnp.arange(n_devices, dtype=jnp.int32) * per_dev
+    dens = shard_map(shard_fn, mesh=mesh,
+                     in_specs=(PS(), PS("blocks"), PS("blocks"),
+                               PS("blocks")),
+                     out_specs=PS("blocks"))(table, lists_p, count_p, bases)
+    return _assemble(dens[:nb], spec), overflow
 
 
 def compute_density(params_np: dict, voxel_size: float = 0.02,
@@ -229,15 +298,21 @@ def compute_density(params_np: dict, voxel_size: float = 0.02,
                     truncate_sigma: float = 3.0,
                     min_scale_limit: float = 0.0,
                     max_per_block: int = 256,
-                    isect_per_gaussian: float = 16.0):
+                    isect_per_gaussian: float = 16.0,
+                    shard_devices: int = 0):
     """Host-facing wrapper: checkpoint params dict -> (density np [dims],
     GridSpec). Mirrors the reference main() flow (extract_mesh_fast.py:469+).
+    shard_devices > 1 shards the block axis over that many devices
+    (density_grid_sharded); clamped to the devices actually present.
     """
     means = np.asarray(params_np["means3D"], np.float32)
     spec = make_grid(means, voxel_size, padding, block_size)
     n = means.shape[0]
     max_isect = int(max(4096, (n * isect_per_gaussian + 1023) // 1024 * 1024))
-    dens, overflow = density_grid(
+    nd = min(int(shard_devices), len(jax.devices()))
+    fn = (functools.partial(density_grid_sharded, n_devices=nd) if nd > 1
+          else density_grid)
+    dens, overflow = fn(
         jnp.asarray(means),
         jnp.asarray(params_np["log_scales"], jnp.float32),
         jnp.asarray(params_np["unnorm_rotations"], jnp.float32),

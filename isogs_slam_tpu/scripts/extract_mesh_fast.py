@@ -56,13 +56,15 @@ def resolve_checkpoint(config: dict, checkpoint: str | None):
 
 def extract_mesh_from_params(params: dict, voxel_size=0.02, iso_level=1.0,
                              padding=0.5, block_size=16, truncate_sigma=3.0,
-                             clean=True, max_per_block=256):
+                             clean=True, max_per_block=256,
+                             shard_devices=0):
     """checkpoint params dict -> (verts, faces, density_stats dict)."""
     # anti-pancaking: min scale = half voxel (extract_mesh_fast.py:479-484)
     dens, spec = compute_density(
         params, voxel_size=voxel_size, padding=padding,
         block_size=block_size, truncate_sigma=truncate_sigma,
-        min_scale_limit=voxel_size * 0.5, max_per_block=max_per_block)
+        min_scale_limit=voxel_size * 0.5, max_per_block=max_per_block,
+        shard_devices=shard_devices)
     stats = {"density_min": float(dens.min()),
              "density_max": float(dens.max()),
              "density_mean": float(dens.mean()),
@@ -87,6 +89,9 @@ def main(argv=None):
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--truncate-sigma", type=float, default=3.0)
     p.add_argument("--max-per-block", type=int, default=256)
+    p.add_argument("--shard-devices", type=int, default=0,
+                   help="shard the density block axis over this many "
+                        "devices (mesh/density.density_grid_sharded)")
     p.add_argument("--no-cleaning", action="store_true")
     p.add_argument("--no-show", action="store_true",
                    help="accepted for CLI parity; no interactive viewer "
@@ -105,7 +110,7 @@ def main(argv=None):
         params, voxel_size=args.voxel_size, iso_level=args.iso_level,
         padding=args.padding, block_size=args.block_size,
         truncate_sigma=args.truncate_sigma, clean=not args.no_cleaning,
-        max_per_block=args.max_per_block)
+        max_per_block=args.max_per_block, shard_devices=args.shard_devices)
     dt = time.time() - t0
     st = mesh_stats(verts, faces)
     print(f"Density stats: {dstats}")

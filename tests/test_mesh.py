@@ -152,3 +152,24 @@ def test_zbuffer_depth_matches_analytic_sphere():
     # hit points lie on (near) the sphere surface
     assert (np.sqrt((rx * d) ** 2 + (ry * d) ** 2 + (d - 2.0) ** 2)
             < 0.6).mean() > 0.95
+
+
+@pytest.mark.smoke
+def test_density_sharded_matches_serial():
+    """density_grid_sharded over the 8-device virtual mesh == serial
+    density_grid bit-for-bit (blocks are embarrassingly parallel; the
+    shard only changes which device evaluates which block range)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    params = {
+        "means3D": rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32),
+        "log_scales": np.log(rng.uniform(0.05, 0.2, (n, 3))
+                             ).astype(np.float32),
+        "unnorm_rotations": rng.normal(size=(n, 4)).astype(np.float32),
+        "logit_opacities": rng.normal(0.5, 1.0, (n, 1)).astype(np.float32),
+    }
+    d_serial, spec = compute_density(params, voxel_size=0.08, padding=0.3)
+    assert spec.num_blocks > 8  # each device gets real blocks
+    d_shard, _ = compute_density(params, voxel_size=0.08, padding=0.3,
+                                 shard_devices=8)
+    np.testing.assert_array_equal(d_shard, d_serial)
