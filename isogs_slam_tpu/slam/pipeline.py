@@ -180,6 +180,7 @@ def _tracking_cfg(config) -> TrackingConfig:
         lr_decay=t.get("lr_decay", 1.0),
         gn_iters=t.get("gn_iters", 0),
         gn_damping=t.get("gn_damping", 1e-3),
+        gn_phot_tol=t.get("gn_phot_tol", 0.05),
         pyramid_levels=t.get("pyramid_levels", 1),
         pyramid_iters=t.get("pyramid_iters", 0),
         bin_margin_px=t.get("bin_margin_px", 8.0),
@@ -300,7 +301,8 @@ class SLAM:
         from ..utils.logging_utils import RunLogger
         self.logger = RunLogger(cfg)
         self.stats = {"tracking_iter_time": [], "tracking_frame_time": [],
-                      "mapping_iter_time": [], "mapping_frame_time": []}
+                      "mapping_iter_time": [], "mapping_frame_time": [],
+                      "gn_accepted": []}
         # online evaluation (eval_online + full report_progress,
         # eval_helpers.py:188-441): created lazily on first report
         self.online_eval = None
@@ -497,6 +499,8 @@ class SLAM:
                       self.lcfg_track, self.tcfg, binning=binning)
         self.cam_rots[:, time_idx] = np.asarray(res.quat)
         self.cam_trans[:, time_idx] = np.asarray(res.trans)
+        if res.gn_accepted is not None and self.tcfg.gn_iters > 0:
+            self.stats["gn_accepted"].append(int(res.gn_accepted))
         return res
 
     # ------------------------------------------------------ densification
@@ -853,6 +857,8 @@ class SLAM:
             "Average Mapping/Frame Time (s)": mean(s["mapping_frame_time"]),
             "Final Frame": int(final_frame),
         }
+        if s["gn_accepted"]:
+            d["GN Polish Acceptance Rate"] = mean(s["gn_accepted"])
         with open(os.path.join(self.output_dir, "runtime_stats.json"),
                   "w") as f:
             json.dump(d, f, indent=2)

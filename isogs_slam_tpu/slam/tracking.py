@@ -81,6 +81,15 @@ class TrackingConfig(NamedTuple):
     # plane RMS decreased. One forward render per step, no backward.
     gn_iters: int = 0
     gn_damping: float = 1e-3
+    # Photometric guard on the GN polish: accept only if the mask-
+    # normalized tracking loss does not degrade by more than this factor.
+    # The polish targets mm-scale trough corrections, which sit on the
+    # FLAT part of the photometric loss (that flatness is the bias); a
+    # polish that visibly worsens the photometric fit has aligned to a
+    # biased model surface (sparse/blobby maps) and must be rejected —
+    # measured: without this guard, toy-scale e2e ATE regressed 1.41 ->
+    # 1.66 cm while the corner-scene polish still landed < 2 mm.
+    gn_phot_tol: float = 0.05
     # Coarse-to-fine tracking (1 = off = reference parity): run
     # pyramid_levels-1 coarse passes on 2x-downsampled image pyramids
     # before the full-resolution pass. Widens the photometric convergence
@@ -97,6 +106,9 @@ class TrackResult(NamedTuple):
     trans: jnp.ndarray      # [3]
     iters_run: jnp.ndarray  # [] int32
     loss_log: jnp.ndarray   # [2*num_iters, N_LOG], nan-padded
+    # GN polish outcome: -1 = off, 0 = rejected, 1 = accepted (the TPU
+    # validation needs per-frame acceptance visibility)
+    gn_accepted: jnp.ndarray = None
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg"))
@@ -308,6 +320,7 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
 
     final = jax.lax.while_loop(cond, body, init)
     best_q, best_t = final.best_pose
+    gn_accepted = jnp.asarray(-1, jnp.int32)
 
     if tcfg.gn_iters > 0:
         from .icp import GNConfig, gn_depth_polish
@@ -333,12 +346,29 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                         sil_thres=min(lcfg.sil_thres, 0.9))
         pq, pt, c0, c1 = gn_depth_polish(gn_raw, gn_counts, best_q, best_t,
                                          gt_depth, cam, rcfg, gcfg)
-        accept = c1 < c0
+
+        if tcfg.rebin_every_iter:
+            from .losses import compute_loss_slots
+
+            def _metric(pose):
+                out = compute_loss_slots(gn_raw, gn_counts, pose[0], pose[1],
+                                         gt_im, gt_depth, cam, rcfg, lcfg)
+                return out.loss / jnp.maximum(out.mask_frac, 1e-6)
+        else:
+            def _metric(pose):
+                loss, out = loss_fn(pose)
+                return loss / jnp.maximum(out.mask_frac, 1e-6)
+
+        phot_ok = (_metric((pq, pt))
+                   <= _metric((best_q, best_t)) * (1.0 + tcfg.gn_phot_tol))
+        accept = (c1 < c0) & phot_ok
         best_q = jnp.where(accept, pq, best_q)
         best_t = jnp.where(accept, pt, best_t)
+        gn_accepted = accept.astype(jnp.int32)
 
     return TrackResult(quat=best_q, trans=best_t,
-                       iters_run=final.it, loss_log=final.log)
+                       iters_run=final.it, loss_log=final.log,
+                       gn_accepted=gn_accepted)
 
 
 def pyramid_cam(cam: Camera, k: int) -> Camera:
