@@ -993,15 +993,12 @@ def gather_raw_table(params, tile_gauss: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.stop_gradient(raw)[tile_gauss]
 
 
-def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
-                          cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
-                          cam: Camera, cfg: RasterConfig):
-    """Fused RGB+depth+sil+depth^2 render from a frozen per-slot raw table.
-
-    raw [T, K, RAW_COLS] from gather_raw_table (stop-gradient params);
-    counts [T]; (cam_quat, cam_trans) the ONLY differentiable inputs.
-    Returns (im, depth, silhouette, depth_sq, aux) like render_rgbd_sil.
-    """
+def _slot_gdata(raw: jnp.ndarray, cam_quat: jnp.ndarray,
+                cam_trans: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """Per-slot world->camera transform + EWA projection of a frozen raw
+    table [T, K, RAW_COLS] -> composite records [T, K, 10] with
+    absolute-pixel (u, v). Shared by the full-image and tile-subset slot
+    renders; (cam_quat, cam_trans) are the only differentiable inputs."""
     from ..utils.transforms import normalize, quat_mult
     T, K = raw.shape[0], raw.shape[1]
     flat = raw.reshape(T * K, RAW_COLS)
@@ -1035,9 +1032,21 @@ def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
     u, v, cA, cB, cC = safe(u), safe(v), safe(cA), safe(cB), safe(cC)
     zf = safe(tz)
 
-    gdata = jnp.stack(
+    return jnp.stack(
         [u, v, cA, cB, cC, opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], zf],
         axis=-1).reshape(T, K, 10)
+
+
+def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
+                          cam_quat: jnp.ndarray, cam_trans: jnp.ndarray,
+                          cam: Camera, cfg: RasterConfig):
+    """Fused RGB+depth+sil+depth^2 render from a frozen per-slot raw table.
+
+    raw [T, K, RAW_COLS] from gather_raw_table (stop-gradient params);
+    counts [T]; (cam_quat, cam_trans) the ONLY differentiable inputs.
+    Returns (im, depth, silhouette, depth_sq, aux) like render_rgbd_sil.
+    """
+    gdata = _slot_gdata(raw, cam_quat, cam_trans, cam)
     tiles_out, tiles_t = composite_gdata(gdata, counts, cam, cfg, 4,
                                          sq_col=3)
 
@@ -1050,3 +1059,26 @@ def render_rgbd_sil_slots(raw: jnp.ndarray, counts: jnp.ndarray,
     final_t = final_t[: cam.height, : cam.width]
     return (img[0:3], img[3:4], 1.0 - final_t, img[4:5],
             {"final_T": final_t})
+
+
+def render_rgbd_sil_slots_subset(raw_sub: jnp.ndarray, counts_sub,
+                                 sel: jnp.ndarray, cam_quat, cam_trans,
+                                 cam: Camera, cfg: RasterConfig):
+    """Slot-table render of ONLY the tiles in sel [Ts] (tracking's analog
+    of render_tiles_subset). raw_sub [Ts, K, RAW_COLS] = raw[sel],
+    counts_sub [Ts]. Returns tile-space (out [Ts, P, 5] with channels
+    (r, g, b, z, z^2), silhouette [Ts, P]) — same virtual single-row grid
+    trick as render_tiles_subset (u, v shifted by virtual - real origin,
+    an additive constant transparent to the pose gradient)."""
+    gdata = _slot_gdata(raw_sub, cam_quat, cam_trans, cam)
+    t_sub = raw_sub.shape[0]
+    ox = (sel % cam.tiles_x) * TILE
+    oy = (sel // cam.tiles_x) * TILE
+    du = (jnp.arange(t_sub, dtype=jnp.int32) * TILE - ox).astype(gdata.dtype)
+    dv = (-oy).astype(gdata.dtype)
+    shift = jnp.zeros((t_sub, 1, gdata.shape[-1]), gdata.dtype)
+    shift = shift.at[:, 0, 0].set(du).at[:, 0, 1].set(dv)
+    grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)
+    out, final_t = composite_gdata(gdata + shift, counts_sub, grid, cfg, 4,
+                                   sq_col=3)
+    return out, 1.0 - final_t

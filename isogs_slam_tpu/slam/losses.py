@@ -141,6 +141,63 @@ def compute_loss_slots(raw: jnp.ndarray, counts: jnp.ndarray,
                        mask_frac=jnp.mean(mask.astype(jnp.float32)))
 
 
+def compute_loss_slots_subset(raw_sub: jnp.ndarray, counts_sub,
+                              sel: jnp.ndarray, cam_quat, cam_trans,
+                              gt_tiles: jnp.ndarray, valid_px: jnp.ndarray,
+                              cam: Camera, rcfg: RasterConfig,
+                              lcfg: LossConfig,
+                              scale: float = 1.0) -> LossOutputs:
+    """Tracking loss on a tile subset via the slot-table render (opt-in
+    fast-tracking mode, tracking.tile_subsample > 1).
+
+    gt_tiles [Ts, P, 4] = (r, g, b, depth) of the selected tiles;
+    valid_px [Ts, P] in-image mask; `scale` (~ num_tiles / Ts) rescales
+    the masked SUMS to full-image magnitude so depth_loss_thres and the
+    best-candidate metric keep their reference meaning. The subset is the
+    caller's (strided) estimator — per-iteration comparisons stay
+    consistent because the subset is fixed for the whole frame."""
+    assert lcfg.tracking
+    from ..ops.rasterize import render_rgbd_sil_slots_subset
+    out, silhouette = render_rgbd_sil_slots_subset(
+        raw_sub, counts_sub, sel, cam_quat, cam_trans, cam, rcfg)
+    im = out[..., 0:3]                                     # [Ts, P, 3]
+    depth = out[..., 3]
+    depth_sq = out[..., 4]
+    gt_im = gt_tiles[..., 0:3]
+    gt_depth = gt_tiles[..., 3]
+
+    uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
+    nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
+    if lcfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0) * valid_px
+        mask = (depth_error < 10 * jnp.median(depth_error)) & (gt_depth > 0)
+    else:
+        mask = gt_depth > 0
+    mask = mask & nan_mask & valid_px
+    if lcfg.use_sil_for_loss:
+        mask = mask & (silhouette > lcfg.sil_thres)
+    mask = jax.lax.stop_gradient(mask)
+
+    d_abs = jnp.abs(gt_depth - depth)
+    loss_depth = (jnp.sum(jnp.where(mask, d_abs, 0.0)) * scale
+                  if lcfg.use_l1 else jnp.zeros(()))
+    im_abs = jnp.abs(gt_im - im)
+    if lcfg.use_sil_for_loss or lcfg.ignore_outlier_depth_loss:
+        loss_im = jnp.sum(jnp.where(mask[..., None], im_abs, 0.0)) * scale
+    else:
+        loss_im = jnp.sum(jnp.where(valid_px[..., None], im_abs, 0.0)) * scale
+
+    z = jnp.zeros(())
+    total = lcfg.w_im * loss_im + lcfg.w_depth * loss_depth
+    n_px = jnp.maximum(jnp.sum(valid_px.astype(jnp.float32)), 1.0)
+    return LossOutputs(loss=total, im=lcfg.w_im * loss_im,
+                       depth=lcfg.w_depth * loss_depth, flat=z, iso=z,
+                       mean_density=z,
+                       radii=jnp.zeros((1,), jnp.int32),
+                       n_overflow=jnp.zeros((), jnp.int32),
+                       mask_frac=jnp.sum(mask.astype(jnp.float32)) / n_px)
+
+
 def _isogs_terms(params, alive, key, lcfg: LossConfig, iso_grid, iso_pool):
     """Flat + iso regularizers shared by the exact and tile-subset
     mapping losses (splatam.py:572-680)."""

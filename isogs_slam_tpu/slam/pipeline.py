@@ -181,6 +181,7 @@ def _tracking_cfg(config) -> TrackingConfig:
         gn_iters=t.get("gn_iters", 0),
         gn_damping=t.get("gn_damping", 1e-3),
         gn_phot_tol=t.get("gn_phot_tol", 0.05),
+        tile_subsample=int(t.get("tile_subsample", 1)),
         pyramid_levels=t.get("pyramid_levels", 1),
         pyramid_iters=t.get("pyramid_iters", 0),
         bin_margin_px=t.get("bin_margin_px", 8.0),

@@ -90,6 +90,14 @@ class TrackingConfig(NamedTuple):
     # measured: without this guard, toy-scale e2e ATE regressed 1.41 ->
     # 1.66 cm while the corner-scene polish still landed < 2 mm.
     gn_phot_tol: float = 0.05
+    # Fast-tracking mode (1 = off = reference parity): evaluate the
+    # tracking loss on every tile_subsample-th tile only (strided subset,
+    # fixed for the whole frame so best-candidate comparisons stay
+    # consistent; masked sums rescaled to full-image magnitude). Every
+    # per-iteration cost (slot re-projection, compositing, reductions)
+    # shrinks by the factor. The tracking analog of
+    # mapping.tile_subsample.
+    tile_subsample: int = 1
     # Coarse-to-fine tracking (1 = off = reference parity): run
     # pyramid_levels-1 coarse passes on 2x-downsampled image pyramids
     # before the full-resolution pass. Widens the photometric convergence
@@ -248,11 +256,32 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         raw = gather_raw_table(params, binning.tile_gauss)
         counts = binning.tile_count
 
-        def loss_fn(pose):
-            quat, trans = pose
-            out = compute_loss_slots(raw, counts, quat, trans, gt_im,
-                                     gt_depth, cam, rcfg, lcfg)
-            return out.loss, out
+        if tcfg.tile_subsample > 1:
+            # strided tile subset, fixed per frame (see TrackingConfig)
+            from ..ops.rasterize import image_to_tiles, tile_pixel_validity
+            from .losses import compute_loss_slots_subset
+            T_tiles = cam.num_tiles
+            Ts = max(T_tiles // tcfg.tile_subsample, 1)
+            sel = jnp.arange(Ts, dtype=jnp.int32) * tcfg.tile_subsample
+            raw_sub = raw[sel]
+            counts_sub = counts[sel]
+            gt_tiles = image_to_tiles(
+                jnp.concatenate([gt_im, gt_depth], axis=0), cam)[sel]
+            valid_px = jnp.asarray(tile_pixel_validity(cam))[sel]
+            scale = float(T_tiles) / float(Ts)
+
+            def loss_fn(pose):
+                quat, trans = pose
+                out = compute_loss_slots_subset(
+                    raw_sub, counts_sub, sel, quat, trans, gt_tiles,
+                    valid_px, cam, rcfg, lcfg, scale=scale)
+                return out.loss, out
+        else:
+            def loss_fn(pose):
+                quat, trans = pose
+                out = compute_loss_slots(raw, counts, quat, trans, gt_im,
+                                         gt_depth, cam, rcfg, lcfg)
+                return out.loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     lrs = (jnp.float32(tcfg.lr_quat), jnp.float32(tcfg.lr_trans))
