@@ -11,7 +11,9 @@ recorded in BASELINE.md). vs_baseline = our FPS / 0.133.
 
 Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
 BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
-BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5).
+BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5), BENCH_TILE_SUBSAMPLE (mapping
+fast mode, 1 = exact), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
+1 = exact).
 """
 from __future__ import annotations
 
@@ -76,8 +78,9 @@ def main():
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
         w_flat=50.0, w_iso=2.0, iso_sample_size=8192, iso_k=16,
         calc_iso=True, knn_block=8192)
-    tcfg = TrackingConfig(num_iters=track_iters, lr_quat=0.0004,
-                          lr_trans=0.002)
+    tcfg = TrackingConfig(
+        num_iters=track_iters, lr_quat=0.0004, lr_trans=0.002,
+        tile_subsample=int(os.environ.get("BENCH_TRACK_TILE_SUBSAMPLE", 1)))
     track_bins = (BinningReuse(cam, rcfg_track,
                                margin_px=tcfg.cross_frame_margin_px,
                                slack_px=tcfg.bin_margin_px)

@@ -65,6 +65,10 @@ config = dict(
         # point-to-plane ICP GN polish after the Adam loop (slam/icp.py):
         # second-order depth alignment below the photometric trough bias
         gn_iters=3,
+        # coarse-to-fine: one 2x-downsampled pass widens the photometric
+        # basin for this trajectory's ~10-15 px/frame motion
+        pyramid_levels=2,
+        pyramid_iters=15,
         use_sil_for_loss=True,
         # single-sheet synthetic walls: the iso density target pulls the
         # rendered silhouette toward ~0.9, so a 0.9 threshold leaves the
