@@ -439,8 +439,11 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
     for k in range(tcfg.pyramid_levels - 1, 0, -1):
         cam_k = pyramid_cam(cam, k)
         im_k, d_k = downsample_frame(gt_im, gt_depth, k)
+        # gn_iters=0: the GN depth polish is a sub-pixel refinement — at
+        # coarse levels it only adds a compile + renders; run it at full
+        # resolution only
         tcfg_k = tcfg._replace(num_iters=coarse_iters, pyramid_levels=1,
-                               use_depth_loss_thres=False)
+                               use_depth_loss_thres=False, gn_iters=0)
         res = track_frame(params, alive, q, t, im_k, d_k, cam_k, rcfg,
                           lcfg, tcfg_k)
         q, t = res.quat, res.trans

@@ -138,6 +138,9 @@ def test_slam_fast_modes_end_to_end(tmp_path):
     cfg["mapping"]["iso_pool_refresh_phases"] = 3
     cfg["tracking"]["pyramid_levels"] = 2
     cfg["tracking"]["pyramid_iters"] = 5
+    # the full_res.py validation combo: pyramid + lr_decay + GN polish
+    cfg["tracking"]["lr_decay"] = 0.92
+    cfg["tracking"]["gn_iters"] = 2
     slam = SLAM(cfg)
     slam.run()
     results = eval_sequence(slam.dataset, slam, slam.eval_dir,
