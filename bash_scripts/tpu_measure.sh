@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Round-2 TPU measurement sequence — run when the tunnel is up.
+# ONE tunneled chip: runs everything strictly serially. Outputs land in
+# experiments/tpu_measure_<ts>/ so numbers survive the session.
+#
+# Usage: bash bash_scripts/tpu_measure.sh [quick|full]
+#   quick: bench exact + fast modes (~15 min incl. compiles)
+#   full:  quick + profile_map + full_res 30-frame quality run (~1 h)
+set -u
+MODE="${1:-quick}"
+TS=$(date +%Y%m%d_%H%M%S)
+OUT="experiments/tpu_measure_${TS}"
+mkdir -p "$OUT"
+echo "== tpu_measure $MODE -> $OUT"
+
+run() { # run <name> <timeout_s> <cmd...>
+    local name="$1" to="$2"; shift 2
+    echo "== [$name] $*" | tee -a "$OUT/log.txt"
+    timeout "$to" "$@" 2>&1 | tee "$OUT/$name.txt" | tail -3
+    echo "== [$name] exit $?" | tee -a "$OUT/log.txt"
+}
+
+# 1. bench exact (reference semantics) — the BENCH_r02 configuration
+run bench_exact 1200 python bench.py
+
+# 2. fast modes (opt-in): mapping tile subset, then tracking subset too
+BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
+BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
+BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_sub4_track4 900 python bench.py
+
+if [ "$MODE" = "full" ]; then
+    # 3. mapping fixed-cost profile
+    run profile_map 1200 python -m isogs_slam_tpu.tools.profile_map
+    run profile_map_sub4 900 python -m isogs_slam_tpu.tools.profile_map \
+        --tile-sub 4
+
+    # 4. full-res quality validation (pyramid + GN + lr_decay)
+    rm -rf experiments/Synthetic/synthetic_room_fullres_0
+    run full_res 3500 python -m isogs_slam_tpu.scripts.splatam \
+        isogs_slam_tpu/configs/synthetic/full_res.py --end-at 30
+    cp experiments/Synthetic/synthetic_room_fullres_0/eval/eval_summary.json \
+       "$OUT/full_res_eval_summary.json" 2>/dev/null || true
+    cp experiments/Synthetic/synthetic_room_fullres_0/runtime_stats.json \
+       "$OUT/full_res_runtime_stats.json" 2>/dev/null || true
+fi
+
+echo "== done; results in $OUT"
+grep -h '"metric"' "$OUT"/bench_*.txt 2>/dev/null

@@ -13,7 +13,7 @@ Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
 BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
 BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5), BENCH_TILE_SUBSAMPLE (mapping
 fast mode, 1 = exact), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
-1 = exact).
+1 = exact), BENCH_TILE_CULL (1 = output-preserving slot cull).
 """
 from __future__ import annotations
 
@@ -67,7 +67,10 @@ def main():
                           height=H, width=W, n_per_wall=n_wall)
     cam = ds.cam
 
-    rcfg = RasterConfig()  # reference-parity defaults
+    # reference-parity defaults; BENCH_TILE_CULL=1 enables the
+    # output-preserving zero-contribution slot cull (rasterize.tile_cull)
+    rcfg = RasterConfig(
+        tile_cull=bool(int(os.environ.get("BENCH_TILE_CULL", 0))))
     rcfg_track = rcfg._replace(max_per_tile=256)
     lcfg_track = LossConfig(
         tracking=True, use_sil_for_loss=True, sil_thres=0.99, use_l1=True,

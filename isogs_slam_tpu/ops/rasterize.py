@@ -79,6 +79,19 @@ class RasterConfig(NamedTuple):
     # scatter + Pallas segment reduce on TPU (needs emit_exp binning),
     # XLA scatter-add elsewhere; "segreduce" / "scatter" force
     bwd_mode: str = "auto"
+    # post-binning zero-contribution slot culling (cull_tile_slots): drop
+    # tile slots whose EXACT min of the conic quadratic form over the tile
+    # box proves alpha < ALPHA_MIN for every pixel — the rect expansion
+    # (CUDA getRect parity) over-covers anisotropic footprints, and the
+    # compositing kernel skips whole 128-slot chunks, so compacted counts
+    # save compute every reuse of the binning. Conservative (output
+    # preserved): requires the caller to pass opacities + drift budgets to
+    # bin_gaussians.
+    tile_cull: bool = False
+    # divide the bin-time min-q by this before comparing against the
+    # opacity cut: budget for conic drift (scale/rotation Adam steps)
+    # across the iterations that reuse a frozen binning
+    cull_q_slack: float = 1.5
 
     def max_isect(self, num_gaussians: int) -> int:
         m = int(num_gaussians * self.isect_per_gaussian)
@@ -277,8 +290,85 @@ class Binning(NamedTuple):
     exp_offsets: jnp.ndarray | None = None
 
 
+def _min_q_box(u, v, A, B, C, x0, x1, y0, y1):
+    """EXACT minimum of the conic quadratic q(dx,dy) = A dx^2 + 2B dx dy +
+    C dy^2 (the form _chunk_alpha evaluates per pixel: power = -q/2) over
+    the pixel box [x0,x1]x[y0,y1], center (u,v). Positive-definite q (the
+    EWA low-pass guarantees det > 0): the min is 0 when the center lies in
+    the box, else it is attained on the boundary, where each edge is a 1D
+    quadratic minimized in closed form and clamped. All args broadcast."""
+    lx, hx = x0 - u, x1 - u
+    ly, hy = y0 - v, y1 - v
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+    As = jnp.maximum(A, 1e-12)
+    Cs = jnp.maximum(C, 1e-12)
+
+    def q(dx, dy):
+        return A * dx * dx + 2.0 * B * dx * dy + C * dy * dy
+
+    # edge dx = const: dq/ddy = 0 at dy* = -B dx / C (clamped); same for dy
+    m = jnp.minimum(
+        jnp.minimum(q(lx, jnp.clip(-B * lx / Cs, ly, hy)),
+                    q(hx, jnp.clip(-B * hx / Cs, ly, hy))),
+        jnp.minimum(q(jnp.clip(-B * ly / As, lx, hx), ly),
+                    q(jnp.clip(-B * hy / As, lx, hx), hy)))
+    return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
+
+
+def cull_tile_slots(binning: Binning, proj: Projected, opacity: jnp.ndarray,
+                    cam: Camera, cfg: RasterConfig, m_sentinel: int,
+                    slack_px=0.0, logit_drift: float = 0.0) -> Binning:
+    """Drop tile slots that provably contribute to NO pixel of their tile
+    and compact the survivors to the front (depth order preserved).
+
+    A slot contributes iff alpha = op * exp(-q/2) >= ALPHA_MIN somewhere in
+    the tile (composite contrib rule, pallas_composite._chunk_alpha /
+    _composite_chunk), i.e. iff min_box q <= 2*ln(op / ALPHA_MIN). The rect
+    expansion (CUDA getRect semantics, renderer.cu via
+    cpp/src/rendering/renderer.cpp:192-212) keeps every tile of the
+    radius's AABB, so anisotropic conics (exactly what the IsoGS flat loss
+    produces) waste most of their rect. Culling is CONSERVATIVE under the
+    same drift contract as the rect margins: `slack_px` inflates the tile
+    box by the caller's pose/mean pixel budget, `logit_drift` bounds
+    opacity growth while the binning is reused (sigmoid(l+d) <=
+    sigmoid(l)*e^d), and cfg.cull_q_slack divides min-q for conic drift.
+    Compute cost is one [T,K] row gather + elementwise + one [T,K] argsort,
+    ONCE per binning; the compositing kernel then skips whole 128-slot
+    chunks on every iteration that reuses it."""
+    T, K = binning.tile_gauss.shape
+    geom = jnp.stack([proj.u, proj.v, proj.conic[:, 0], proj.conic[:, 1],
+                      proj.conic[:, 2], opacity], axis=-1)   # [N, 6]
+    g = geom[binning.tile_gauss]                             # [T, K, 6]
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tx0 = ((tids % cam.tiles_x) * TILE).astype(jnp.float32)[:, None]
+    ty0 = ((tids // cam.tiles_x) * TILE).astype(jnp.float32)[:, None]
+    # pixel centers span [tx0, tx0+TILE-1]; inflate by the drift budget
+    minq = _min_q_box(g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4],
+                      tx0 - slack_px, tx0 + (TILE - 1) + slack_px,
+                      ty0 - slack_px, ty0 + (TILE - 1) + slack_px)
+    op_bound = jnp.minimum(jnp.asarray(ALPHA_MAX, jnp.float32),
+                           g[..., 5] * float(np.exp(logit_drift)))
+    q_cut = 2.0 * (jnp.log(jnp.maximum(op_bound, 1e-12))
+                   - float(np.log(ALPHA_MIN)))
+    k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_cnt = k_idx < binning.tile_count[:, None]
+    keep = in_cnt & (minq / cfg.cull_q_slack <= q_cut)
+    # stable compaction: keepers first, original (depth) order preserved
+    perm = jnp.argsort(jnp.where(keep, k_idx, K + k_idx), axis=1)
+    tile_gauss = jnp.take_along_axis(binning.tile_gauss, perm, axis=1)
+    new_count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    sep = binning.slot_exp_pos
+    if sep is not None:
+        sep = jnp.take_along_axis(sep, perm, axis=1)
+        sep = jnp.where(k_idx < new_count[:, None], sep, m_sentinel)
+    return binning._replace(tile_gauss=tile_gauss, tile_count=new_count,
+                            slot_exp_pos=sep)
+
+
 def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
-                  emit_exp: bool = False) -> Binning:
+                  emit_exp: bool = False, opacity: jnp.ndarray | None = None,
+                  cull_slack_px=0.0, cull_logit_drift: float = 0.0
+                  ) -> Binning:
     """Depth-ordered per-tile Gaussian lists with static shapes.
 
     Replaces the CUDA `intersect_tile`/`intersect_offset` duplication + 64-bit
@@ -404,10 +494,15 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
             jnp.concatenate([sorted_gauss,
                              jnp.zeros((K,), sorted_gauss.dtype)]),
             starts, K)                             # [num_tiles, K]
-    return Binning(tile_gauss=tile_gauss, tile_count=tile_count,
-                   n_isect=total, n_overflow=n_overflow,
-                   n_true_overflow=n_true_overflow,
-                   slot_exp_pos=slot_exp_pos, exp_offsets=exp_offsets)
+    binning = Binning(tile_gauss=tile_gauss, tile_count=tile_count,
+                      n_isect=total, n_overflow=n_overflow,
+                      n_true_overflow=n_true_overflow,
+                      slot_exp_pos=slot_exp_pos, exp_offsets=exp_offsets)
+    if cfg.tile_cull and opacity is not None:
+        binning = cull_tile_slots(binning, proj, opacity, cam, cfg, M,
+                                  slack_px=cull_slack_px,
+                                  logit_drift=cull_logit_drift)
+    return binning
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -796,7 +891,8 @@ def render(means_cam: jnp.ndarray,
     if binning is None:
         binning = bin_gaussians(
             proj, cam, cfg,
-            emit_exp=cfg.resolve_bwd_mode() == "segreduce")
+            emit_exp=cfg.resolve_bwd_mode() == "segreduce",
+            opacity=jax.lax.stop_gradient(opacity))
     else:
         # frozen tile lists may reference Gaussians culled at the current
         # pose; silence them instead of compositing stale conics

@@ -181,7 +181,13 @@ def map_frame(state: MapState,
             emit = subset_uses_segreduce(rcfg, t_sub)
         else:
             emit = rcfg.resolve_bwd_mode() == "segreduce"
-        return bin_gaussians(proj, cam, rcfg, emit_exp=emit)
+        # cull budget while this binning is reused: pixel slack = the rect
+        # margin; opacity may rise by <= lr * num_iters logits under Adam
+        return bin_gaussians(
+            proj, cam, rcfg, emit_exp=emit,
+            opacity=jax.nn.sigmoid(p0.logit_opacities[:, 0]),
+            cull_slack_px=mcfg.bin_margin_px,
+            cull_logit_drift=mcfg.lr_logit_opacities * mcfg.num_iters)
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
     # true-candidate truncation observability (Binning.n_true_overflow):

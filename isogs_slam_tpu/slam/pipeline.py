@@ -273,7 +273,9 @@ class SLAM:
         r = cfg["raster"]
         self.rcfg = RasterConfig(max_per_tile=r["max_per_tile"],
                                  isect_per_gaussian=r["isect_per_gaussian"],
-                                 tile_chunk=r["tile_chunk"])
+                                 tile_chunk=r["tile_chunk"],
+                                 tile_cull=r.get("tile_cull", False),
+                                 cull_q_slack=r.get("cull_q_slack", 1.5))
         # tracking composites against a mature map whose transmittance
         # saturates after ~10-20 Gaussians; a smaller per-tile cap halves
         # the gather/backward traffic with no pose-accuracy effect

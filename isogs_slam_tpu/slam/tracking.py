@@ -133,7 +133,11 @@ def bin_at_pose(params: GaussianParams, alive: jnp.ndarray,
                                 camera_grad=False)
     proj = project_gaussians(mc, qc, params.log_scales, alive, cam,
                              margin_px=margin_px)
-    return bin_gaussians(proj, cam, rcfg)
+    # params are frozen during tracking (pose is the only leaf), so the
+    # cull needs no opacity drift; margin_px covers pose drift in pixels
+    return bin_gaussians(proj, cam, rcfg,
+                         opacity=jax.nn.sigmoid(params.logit_opacities[:, 0]),
+                         cull_slack_px=margin_px)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "stride"))
@@ -247,7 +251,10 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                                           camera_grad=False)
             proj0 = project_gaussians(mc0, qc0, params.log_scales, alive,
                                       cam, margin_px=tcfg.bin_margin_px)
-            binning = bin_gaussians(proj0, cam, rcfg)
+            binning = bin_gaussians(
+                proj0, cam, rcfg,
+                opacity=jax.nn.sigmoid(params.logit_opacities[:, 0]),
+                cull_slack_px=tcfg.bin_margin_px)
         # gather the frozen per-slot raw table ONCE per frame; iterations
         # re-project per slot with pose as the only gradient leaf (no
         # per-iteration gather, no backward scatter — see rasterize.py)
@@ -366,7 +373,10 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                                           camera_grad=False)
             proj1 = project_gaussians(mc1, qc1, params.log_scales, alive,
                                       cam, margin_px=tcfg.bin_margin_px)
-            b1 = bin_gaussians(proj1, cam, rcfg)
+            b1 = bin_gaussians(
+                proj1, cam, rcfg,
+                opacity=jax.nn.sigmoid(params.logit_opacities[:, 0]),
+                cull_slack_px=tcfg.bin_margin_px)
             gn_raw, gn_counts = gather_raw_table(params,
                                                  b1.tile_gauss), b1.tile_count
         else:
