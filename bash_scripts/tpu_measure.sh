@@ -29,6 +29,11 @@ BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_sub4_track4 900 python bench.py
 
+# 2c. output-preserving slot cull, alone and stacked on the fast mode
+BENCH_TILE_CULL=1 run bench_cull 900 python bench.py
+BENCH_TILE_CULL=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_cull_sub4 900 python bench.py
+
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile
     run profile_map 1200 python -m isogs_slam_tpu.tools.profile_map

@@ -21,7 +21,7 @@ import sys
 import tempfile
 
 
-def build_scene(H, W, map_iters, tile_sub=1):
+def build_scene(H, W, map_iters, tile_sub=1, cull=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +38,7 @@ def build_scene(H, W, map_iters, tile_sub=1):
     ds = SyntheticDataset(num_frames=8, height=H, width=W,
                           n_per_wall=n_wall)
     cam = ds.cam
-    rcfg = RasterConfig()
+    rcfg = RasterConfig(tile_cull=cull)
     lcfg = LossConfig(
         tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
@@ -140,6 +140,9 @@ def main():
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--tile-sub", type=int, default=1,
                     help="mapping.tile_subsample (fast-mapping mode)")
+    ap.add_argument("--cull", action="store_true",
+                    help="enable raster.tile_cull (zero-contribution "
+                         "slot culling)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -151,7 +154,8 @@ def main():
     import numpy as np
 
     (state, kf_colors, kf_depths, kf_quats, kf_trans, cam, rcfg, lcfg,
-     mcfg, frame) = build_scene(args.h, args.w, args.iters, args.tile_sub)
+     mcfg, frame) = build_scene(args.h, args.w, args.iters, args.tile_sub,
+                 args.cull)
     print("n_gaussians:", int(jnp.sum(state.alive)), flush=True)
 
     rng = np.random.default_rng(0)
