@@ -169,10 +169,18 @@ def main():
                 jnp.int32)
             keys = jax.random.split(k2, map_iters)
             log(f"frame {i}: mapping")
-            state, mlog, _ = map_frame(state, kf_colors, kf_depths,
-                                       kf_quats, kf_trans, iter_slots,
-                                       keys, cam, rcfg, lcfg_map, mcfg)
+            state, mlog, bstats = map_frame(state, kf_colors, kf_depths,
+                                            kf_quats, kf_trans, iter_slots,
+                                            keys, cam, rcfg, lcfg_map, mcfg)
             jax.block_until_ready(mlog)
+            if timing is not None:
+                # mean per-slot expansion vs the M capacity the binning
+                # sort pays for (isect_per_gaussian tuning signal);
+                # map_frame bins every slot of the [S] keyframe arrays
+                timing["isect"] = max(
+                    timing.get("isect", 0.0),
+                    float(bstats[1]) / kf_quats.shape[0]
+                    / rcfg.max_isect(state.params.means3d.shape[0]))
             if track_bins is not None:
                 track_bins.invalidate()
         t_map = time.perf_counter()
@@ -214,6 +222,7 @@ def main():
             "resolution": f"{W}x{H}",
             "track_iters": track_iters, "map_iters": map_iters,
             "map_every": map_every,
+            "isect_util": round(timing.get("isect", 0.0), 3),
             "device": str(jax.devices()[0].platform),
         },
     }
