@@ -17,7 +17,8 @@ run() { # run <name> <timeout_s> <cmd...>
     local name="$1" to="$2"; shift 2
     echo "== [$name] $*" | tee -a "$OUT/log.txt"
     timeout "$to" "$@" 2>&1 | tee "$OUT/$name.txt" | tail -3
-    echo "== [$name] exit $?" | tee -a "$OUT/log.txt"
+    local rc=${PIPESTATUS[0]}   # the command's status, not tail's
+    echo "== [$name] exit $rc" | tee -a "$OUT/log.txt"
 }
 
 # 1. bench exact (reference semantics) — the BENCH_r02 configuration

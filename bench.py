@@ -174,12 +174,12 @@ def main():
                                             keys, cam, rcfg, lcfg_map, mcfg)
             jax.block_until_ready(mlog)
             if timing is not None:
-                # mean per-slot expansion vs the M capacity the binning
-                # sort pays for (isect_per_gaussian tuning signal);
-                # map_frame bins every slot of the [S] keyframe arrays
+                # peak per-slot expansion vs the M capacity the binning
+                # sort pays for (isect_per_gaussian tuning signal;
+                # > 1.0 means intersections were dropped)
                 timing["isect"] = max(
                     timing.get("isect", 0.0),
-                    float(bstats[1]) / kf_quats.shape[0]
+                    float(bstats[2])
                     / rcfg.max_isect(state.params.means3d.shape[0]))
             if track_bins is not None:
                 track_bins.invalidate()

@@ -346,7 +346,11 @@ def cull_tile_slots(binning: Binning, proj: Projected, opacity: jnp.ndarray,
     minq = _min_q_box(g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4],
                       tx0 - slack_px, tx0 + (TILE - 1) + slack_px,
                       ty0 - slack_px, ty0 + (TILE - 1) + slack_px)
-    op_bound = jnp.minimum(jnp.asarray(ALPHA_MAX, jnp.float32),
+    # NOTE the compositor clamps alpha at ALPHA_MAX but tests contrib on
+    # the CLAMPED value: min(ALPHA_MAX, op*e^{-q/2}) >= ALPHA_MIN is
+    # equivalent to the unclamped op*e^{-q/2} >= ALPHA_MIN, so the cut
+    # must use UNclamped opacity (cap only at 1.0 — sigmoid(l) < 1)
+    op_bound = jnp.minimum(jnp.asarray(1.0, jnp.float32),
                            g[..., 5] * float(np.exp(logit_drift)))
     q_cut = 2.0 * (jnp.log(jnp.maximum(op_bound, 1e-12))
                    - float(np.log(ALPHA_MIN)))
@@ -889,10 +893,14 @@ def render(means_cam: jnp.ndarray,
     proj = project_gaussians(means_cam, quats_cam, log_scales, alive, cam,
                              means2d_offset)
     if binning is None:
+        # no cull opacity here: an inline binning is used by exactly ONE
+        # composite, so the per-binning cull cost (a [T,K] row gather +
+        # argsort) has no reuse to amortize over — tile_cull applies only
+        # at call sites that freeze and reuse a binning (mapping slots,
+        # tracking slot tables, GN rebin)
         binning = bin_gaussians(
             proj, cam, cfg,
-            emit_exp=cfg.resolve_bwd_mode() == "segreduce",
-            opacity=jax.lax.stop_gradient(opacity))
+            emit_exp=cfg.resolve_bwd_mode() == "segreduce")
     else:
         # frozen tile lists may reference Gaussians culled at the current
         # pose; silence them instead of compositing stale conics

@@ -150,11 +150,18 @@ def make_multiview_map_phase(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
                                         camera_grad=False)
             proj = project_gaussians(mc, qc, p0.log_scales, alive0, cam,
                                      margin_px=mcfg.bin_margin_px)
-            return bin_gaussians(proj, cam, rcfg)
+            # same cull budgets as the serial mapping bins (mapping.py)
+            return bin_gaussians(
+                proj, cam, rcfg,
+                opacity=jax.nn.sigmoid(p0.logit_opacities[:, 0]),
+                cull_slack_px=mcfg.bin_margin_px,
+                cull_logit_drift=3.2 * mcfg.lr_logit_opacities
+                * mcfg.num_iters)
 
         bins = shard_views(jax.vmap(bin_slot)(kf_quats, kf_transl))
         bin_stats = jnp.stack([jnp.sum(bins.n_true_overflow),
-                               jnp.sum(bins.n_isect)])
+                               jnp.sum(bins.n_isect),
+                               jnp.max(bins.n_isect)])
 
         iso_grid = None
         iso_pool = None

@@ -182,18 +182,21 @@ def map_frame(state: MapState,
         else:
             emit = rcfg.resolve_bwd_mode() == "segreduce"
         # cull budget while this binning is reused: pixel slack = the rect
-        # margin; opacity may rise by <= lr * num_iters logits under Adam
+        # margin; opacity logits can rise by <= 3.2 * lr per Adam step
+        # worst-case ((1-b1)/sqrt(1-b2) with b1=0.9, b2=0.999 — sign flips
+        # after near-zero gradients), so budget 3.2 * lr * num_iters
         return bin_gaussians(
             proj, cam, rcfg, emit_exp=emit,
             opacity=jax.nn.sigmoid(p0.logit_opacities[:, 0]),
             cull_slack_px=mcfg.bin_margin_px,
-            cull_logit_drift=mcfg.lr_logit_opacities * mcfg.num_iters)
+            cull_logit_drift=3.2 * mcfg.lr_logit_opacities * mcfg.num_iters)
 
     bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
     # true-candidate truncation observability (Binning.n_true_overflow):
     # [sum of true-footprint intersections dropped by the K cap, total]
     bin_stats = jnp.stack([jnp.sum(bins.n_true_overflow),
-                           jnp.sum(bins.n_isect)])
+                           jnp.sum(bins.n_isect),
+                           jnp.max(bins.n_isect)])
 
     # hash grid for the iso loss: built once per phase, reused every
     # iteration (Gaussian drift within a phase << cell size). Skipped

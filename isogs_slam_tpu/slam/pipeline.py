@@ -578,7 +578,7 @@ class SLAM:
         last (dropping them is by design) but dropped TRUE candidates are
         a real deviation — warn, and optionally escalate the cap
         (config raster.adaptive_max_per_tile)."""
-        dropped, total = (int(x) for x in np.asarray(bin_stats))
+        dropped, total = (int(x) for x in np.asarray(bin_stats)[:2])
         frac = dropped / max(total, 1)
         if frac <= 0.005:
             return

@@ -46,13 +46,19 @@ def _bin(cam, params, alive, cfg, **kw):
 
 @pytest.mark.parametrize("bwd_mode", ["scatter", "segreduce"])
 def test_cull_preserves_forward_and_grads(bwd_mode):
+    """Frozen-binning contract (how mapping/tracking consume the cull):
+    rendering against a culled binning must produce the same loss and
+    parameter gradients as against the uncull'd one."""
     cam, params, alive = _scene()
 
     def loss(params, cull):
         cfg = RasterConfig(max_per_tile=128, backend="xla",
                            bwd_mode=bwd_mode, grad_scatter_bf16=False,
                            tile_cull=cull, cull_q_slack=1.0)
-        im, depth, sil, dsq, _ = render_rgbd_sil(*params, alive, cam, cfg)
+        binning = _bin(cam, jax.tree.map(jax.lax.stop_gradient, params),
+                       alive, cfg, emit_exp=(bwd_mode == "segreduce"))
+        im, depth, sil, dsq, _ = render_rgbd_sil(*params, alive, cam, cfg,
+                                                 binning=binning)
         return (jnp.sum(im * im) + jnp.sum(jnp.abs(depth))
                 + jnp.sum(sil ** 3) + jnp.sum(dsq))
 
@@ -133,13 +139,21 @@ def test_cull_budgets_are_monotone():
 
 def test_cull_isotropic_scene_still_exact():
     """Spherical splats (the default gaussian_distribution): modest cull,
-    but the render must still match exactly."""
+    but the render must still match exactly. High opacities included —
+    the alpha clamp (ALPHA_MAX) must NOT tighten the cull cut (the
+    compositor's contrib test is clamp-invariant)."""
     cam, params, alive = _scene(seed=5, aniso=False)
+    # saturate some opacities near 1 (converged opaque surfels)
+    means, quats, log_scales, logit_op, rgb = params
+    logit_op = logit_op.at[::3].set(7.0)       # sigmoid -> 0.999
+    params = (means, quats, log_scales, logit_op, rgb)
     outs = []
     for cull in (False, True):
         cfg = RasterConfig(max_per_tile=128, backend="xla",
                            tile_cull=cull, cull_q_slack=1.0)
-        outs.append(render_rgbd_sil(*params, alive, cam, cfg)[:4])
+        binning = _bin(cam, params, alive, cfg)
+        outs.append(render_rgbd_sil(*params, alive, cam, cfg,
+                                    binning=binning)[:4])
     for a, b in zip(*outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
