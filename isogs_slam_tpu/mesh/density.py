@@ -145,6 +145,30 @@ def _bin_to_blocks(means, trunc, spec: GridSpec, max_isect: int,
     return lists, count, overflow
 
 
+def _prep_density_table(means, log_scales, unnorm_rotations,
+                        logit_opacities, alive, spec, max_isect,
+                        max_per_block, truncate_sigma, min_scale):
+    """Shared input prep for the serial and sharded density passes:
+    coefficient table [N, 21] (quadratic + Euclid-ball + opacity) and the
+    per-block Gaussian lists. Kept in ONE place so the sharded path stays
+    bit-equal to the serial one."""
+    coeff, op, max_scale = density_coefficients(
+        means, log_scales, unnorm_rotations, logit_opacities, min_scale)
+    trunc = truncate_sigma * max_scale
+    op = jnp.where(alive, op, 0.0)
+    trunc = jnp.where(alive, trunc, 0.0)
+    lists, count, overflow = _bin_to_blocks(
+        means, trunc, spec, max_isect, max_per_block)
+    # Euclid-ball coeffs: phi(p).eucl = ||p - mu||^2 - trunc^2
+    eucl = jnp.stack([
+        jnp.ones_like(op), jnp.ones_like(op), jnp.ones_like(op),
+        jnp.zeros_like(op), jnp.zeros_like(op), jnp.zeros_like(op),
+        -2.0 * means[:, 0], -2.0 * means[:, 1], -2.0 * means[:, 2],
+        jnp.sum(means * means, axis=1) - trunc * trunc], axis=-1)
+    table = jnp.concatenate([coeff, eucl, op[:, None]], axis=-1)
+    return table, lists, count, overflow
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spec", "max_isect", "max_per_block",
                                     "truncate_sigma", "block_chunk"))
@@ -153,24 +177,9 @@ def density_grid(means, log_scales, unnorm_rotations, logit_opacities,
                  max_per_block: int = 256, truncate_sigma: float = 3.0,
                  min_scale: float = 1e-5, block_chunk: int = 32):
     """Returns (density [dims], n_overflow). All-jit, differentiable-free."""
-    coeff, op, max_scale = density_coefficients(
-        means, log_scales, unnorm_rotations, logit_opacities, min_scale)
-    trunc = truncate_sigma * max_scale
-    op = jnp.where(alive, op, 0.0)
-    trunc = jnp.where(alive, trunc, 0.0)
-
-    lists, count, overflow = _bin_to_blocks(
-        means, trunc, spec, max_isect, max_per_block)
-
-    # Euclid-ball coeffs: phi(p).eucl = ||p - mu||^2 - trunc^2
-    eucl = jnp.stack([
-        jnp.ones_like(op), jnp.ones_like(op), jnp.ones_like(op),
-        jnp.zeros_like(op), jnp.zeros_like(op), jnp.zeros_like(op),
-        -2.0 * means[:, 0], -2.0 * means[:, 1], -2.0 * means[:, 2],
-        jnp.sum(means * means, axis=1) - trunc * trunc], axis=-1)
-
-    table = jnp.concatenate(
-        [coeff, eucl, op[:, None]], axis=-1)                 # [N, 21]
+    table, lists, count, overflow = _prep_density_table(
+        means, log_scales, unnorm_rotations, logit_opacities, alive, spec,
+        max_isect, max_per_block, truncate_sigma, min_scale)
     dens = _dens_for_blocks(table, lists, count, spec, block_chunk)
     return _assemble(dens, spec), overflow
 
@@ -256,19 +265,9 @@ def density_grid_sharded(means, log_scales, unnorm_rotations,
     from jax.sharding import Mesh, PartitionSpec as PS
     from jax.experimental.shard_map import shard_map
 
-    coeff, op, max_scale = density_coefficients(
-        means, log_scales, unnorm_rotations, logit_opacities, min_scale)
-    trunc = truncate_sigma * max_scale
-    op = jnp.where(alive, op, 0.0)
-    trunc = jnp.where(alive, trunc, 0.0)
-    lists, count, overflow = _bin_to_blocks(
-        means, trunc, spec, max_isect, max_per_block)
-    eucl = jnp.stack([
-        jnp.ones_like(op), jnp.ones_like(op), jnp.ones_like(op),
-        jnp.zeros_like(op), jnp.zeros_like(op), jnp.zeros_like(op),
-        -2.0 * means[:, 0], -2.0 * means[:, 1], -2.0 * means[:, 2],
-        jnp.sum(means * means, axis=1) - trunc * trunc], axis=-1)
-    table = jnp.concatenate([coeff, eucl, op[:, None]], axis=-1)
+    table, lists, count, overflow = _prep_density_table(
+        means, log_scales, unnorm_rotations, logit_opacities, alive, spec,
+        max_isect, max_per_block, truncate_sigma, min_scale)
 
     nb = spec.num_blocks
     pad = (-nb) % (n_devices * block_chunk)
@@ -279,6 +278,10 @@ def density_grid_sharded(means, log_scales, unnorm_rotations,
     count_p = jnp.concatenate([count, jnp.zeros((pad,), count.dtype)])
     per_dev = (nb + pad) // n_devices
 
+    avail = len(jax.devices())
+    if n_devices > avail:
+        raise ValueError(f"density_grid_sharded: n_devices={n_devices} "
+                         f"but only {avail} device(s) are visible")
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("blocks",))
 
     def shard_fn(tbl, ls, ct, base):

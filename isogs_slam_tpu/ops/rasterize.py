@@ -970,6 +970,21 @@ def render_rgbd_sil(means_cam, quats_cam, log_scales, logit_opacities,
 # keeps full resolution but stochastically samples the pixel space.
 
 
+def _virtual_row_shift(sel, cam: Camera, width: int, dtype):
+    """u,v shift re-indexing the selected tiles into a single-row virtual
+    grid: virtual tile t composites pixels with origin (t*TILE, 0), so
+    shift by (virtual - real origin) — an additive constant, transparent
+    to gradients. Returns [Ts, 1, width] with only cols 0 (u), 1 (v) set.
+    Shared by render_tiles_subset and render_rgbd_sil_slots_subset."""
+    t_sub = sel.shape[0]
+    ox = (sel % cam.tiles_x) * TILE
+    oy = (sel // cam.tiles_x) * TILE
+    du = (jnp.arange(t_sub, dtype=jnp.int32) * TILE - ox).astype(dtype)
+    dv = (-oy).astype(dtype)
+    shift = jnp.zeros((t_sub, 1, width), dtype)
+    return shift.at[:, 0, 0].set(du).at[:, 0, 1].set(dv)
+
+
 class _TileGrid(NamedTuple):
     """Duck-typed stand-in for Camera inside composite_gdata: the selected
     tiles are laid out as one virtual row of tiles."""
@@ -1056,17 +1071,9 @@ def render_tiles_subset(means_cam, quats_cam, log_scales, logit_opacities,
     else:
         gdata = _gather_rows_partial_grad(table, idx, tuple(live_grad_cols),
                                           cfg.grad_scatter_bf16)
-    # re-index into the virtual single-row grid: virtual tile t composites
-    # pixels with origin (t*TILE, 0), so shift u,v by (virtual - real
-    # origin); an additive constant, transparent to the gradient
     t_sub = sel.shape[0]
-    ox = (sel % cam.tiles_x) * TILE
-    oy = (sel // cam.tiles_x) * TILE
-    du = (jnp.arange(t_sub, dtype=jnp.int32) * TILE - ox).astype(gdata.dtype)
-    dv = (-oy).astype(gdata.dtype)
-    shift = jnp.zeros((t_sub, 1, gdata.shape[-1]), gdata.dtype)
-    shift = shift.at[:, 0, 0].set(du).at[:, 0, 1].set(dv)
-    gdata = gdata + shift
+    gdata = gdata + _virtual_row_shift(sel, cam, gdata.shape[-1],
+                                       gdata.dtype)
     grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)
     out, final_t = composite_gdata(gdata, counts, grid, cfg, 4, sq_col=3)
     return out, final_t, {"radii": proj.radius}
@@ -1176,12 +1183,7 @@ def render_rgbd_sil_slots_subset(raw_sub: jnp.ndarray, counts_sub,
     an additive constant transparent to the pose gradient)."""
     gdata = _slot_gdata(raw_sub, cam_quat, cam_trans, cam)
     t_sub = raw_sub.shape[0]
-    ox = (sel % cam.tiles_x) * TILE
-    oy = (sel // cam.tiles_x) * TILE
-    du = (jnp.arange(t_sub, dtype=jnp.int32) * TILE - ox).astype(gdata.dtype)
-    dv = (-oy).astype(gdata.dtype)
-    shift = jnp.zeros((t_sub, 1, gdata.shape[-1]), gdata.dtype)
-    shift = shift.at[:, 0, 0].set(du).at[:, 0, 1].set(dv)
+    shift = _virtual_row_shift(sel, cam, gdata.shape[-1], gdata.dtype)
     grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)
     out, final_t = composite_gdata(gdata + shift, counts_sub, grid, cfg, 4,
                                    sq_col=3)

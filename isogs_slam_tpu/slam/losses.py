@@ -78,7 +78,11 @@ class LossOutputs(NamedTuple):
 def _photometric_terms(im, depth, silhouette, depth_sq, gt_im, gt_depth,
                        lcfg: LossConfig):
     """Masks + RGB/depth loss terms shared by the per-gaussian and the
-    per-slot (tracking) render paths. Returns (loss_im, loss_depth, mask)."""
+    per-slot (tracking) render paths. Returns (loss_im, loss_depth, mask).
+
+    KEEP IN SYNC with compute_loss_slots_subset below: it re-states this
+    masking/L1 sequence in tile space ([Ts, P, C] with a valid_px mask and
+    a sum scale); test_track_subset asserts the two stay equal."""
     tracking = lcfg.tracking
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     presence_sil_mask = silhouette > lcfg.sil_thres
@@ -155,7 +159,12 @@ def compute_loss_slots_subset(raw_sub: jnp.ndarray, counts_sub,
     the masked SUMS to full-image magnitude so depth_loss_thres and the
     best-candidate metric keep their reference meaning. The subset is the
     caller's (strided) estimator — per-iteration comparisons stay
-    consistent because the subset is fixed for the whole frame."""
+    consistent because the subset is fixed for the whole frame.
+
+    KEEP IN SYNC with _photometric_terms above (the full-image masking/L1
+    sequence); the layouts differ ([Ts, P, C] + valid_px vs [C, H, W]), so
+    the sequence is restated rather than shared — test_track_subset
+    asserts equality between the two paths."""
     assert lcfg.tracking
     from ..ops.rasterize import render_rgbd_sil_slots_subset
     out, silhouette = render_rgbd_sil_slots_subset(

@@ -225,6 +225,10 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                 tcfg: TrackingConfig,
                 binning=None) -> TrackResult:
     assert lcfg.tracking
+    if tcfg.rebin_every_iter and tcfg.tile_subsample > 1:
+        raise ValueError(
+            "tracking.tile_subsample requires the frozen-slot-table path; "
+            "it cannot be combined with tracking.rebin_every_iter")
     max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
     params = jax.tree.map(jax.lax.stop_gradient, params)
 
@@ -260,8 +264,12 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         # per-iteration gather, no backward scatter — see rasterize.py)
         from ..ops.rasterize import gather_raw_table
         from .losses import compute_loss_slots
-        raw = gather_raw_table(params, binning.tile_gauss)
         counts = binning.tile_count
+        # the GN polish renders the FULL image from the frozen table; only
+        # gather all T tiles when it will run (else the subset suffices)
+        need_full = tcfg.tile_subsample <= 1 or tcfg.gn_iters > 0
+        raw = (gather_raw_table(params, binning.tile_gauss)
+               if need_full else None)
 
         if tcfg.tile_subsample > 1:
             # strided tile subset, fixed per frame (see TrackingConfig)
@@ -270,7 +278,10 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
             T_tiles = cam.num_tiles
             Ts = max(T_tiles // tcfg.tile_subsample, 1)
             sel = jnp.arange(Ts, dtype=jnp.int32) * tcfg.tile_subsample
-            raw_sub = raw[sel]
+            # gather only the selected tiles' slots (the whole point of
+            # the mode is to shrink the per-frame [T, K] setup cost)
+            raw_sub = (raw[sel] if raw is not None else
+                       gather_raw_table(params, binning.tile_gauss[sel]))
             counts_sub = counts[sel]
             gt_tiles = image_to_tiles(
                 jnp.concatenate([gt_im, gt_depth], axis=0), cam)[sel]
