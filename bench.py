@@ -161,6 +161,9 @@ def main():
             log(f"frame {i}: densify")
             state = add_new_gaussians(state, im, d, res.quat, res.trans,
                                       float(i), k1, cam, rcfg, sil_thres=0.5)
+            jax.block_until_ready(state.params.means3d)
+            t_densify = time.perf_counter()
+            log(f"frame {i}: densify done +{t_densify - t_track:.3f}s")
             slot = (i // map_every) % (S - 1) + 1
             kf_colors, kf_depths, kf_quats, kf_trans = set_kf(
                 slot, im, d, res.quat, res.trans)
@@ -173,6 +176,8 @@ def main():
                                             kf_quats, kf_trans, iter_slots,
                                             keys, cam, rcfg, lcfg_map, mcfg)
             jax.block_until_ready(mlog)
+            log(f"frame {i}: mapping done "
+                f"+{time.perf_counter() - t_densify:.3f}s")
             if timing is not None:
                 # peak per-slot expansion vs the M capacity the binning
                 # sort pays for (isect_per_gaussian tuning signal;
