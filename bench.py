@@ -13,7 +13,9 @@ Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
 BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
 BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5), BENCH_TILE_SUBSAMPLE (mapping
 fast mode, 1 = exact), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
-1 = exact), BENCH_TILE_CULL (1 = output-preserving slot cull).
+1 = exact), BENCH_TILE_CULL (1 = output-preserving slot cull),
+BENCH_TIGHT_RECT (1 = opacity-aware exact-ellipse binning rects, also
+output-preserving), BENCH_ISECT_PER_GAUSSIAN (static isect capacity).
 """
 from __future__ import annotations
 
@@ -68,9 +70,15 @@ def main():
     cam = ds.cam
 
     # reference-parity defaults; BENCH_TILE_CULL=1 enables the
-    # output-preserving zero-contribution slot cull (rasterize.tile_cull)
+    # output-preserving zero-contribution slot cull (rasterize.tile_cull),
+    # BENCH_TIGHT_RECT=1 the opacity-aware exact-ellipse binning rects
+    # (rasterize.tight_rect), BENCH_ISECT_PER_GAUSSIAN shrinks the static
+    # intersection capacity (safe with tight rects; n_overflow guards)
     rcfg = RasterConfig(
-        tile_cull=bool(int(os.environ.get("BENCH_TILE_CULL", 0))))
+        tile_cull=bool(int(os.environ.get("BENCH_TILE_CULL", 0))),
+        tight_rect=bool(int(os.environ.get("BENCH_TIGHT_RECT", 0))),
+        isect_per_gaussian=float(
+            os.environ.get("BENCH_ISECT_PER_GAUSSIAN", 2.5)))
     rcfg_track = rcfg._replace(max_per_tile=256)
     lcfg_track = LossConfig(
         tracking=True, use_sil_for_loss=True, sil_thres=0.99, use_l1=True,

@@ -92,6 +92,21 @@ class RasterConfig(NamedTuple):
     # opacity cut: budget for conic drift (scale/rotation Adam steps)
     # across the iterations that reuse a frozen binning
     cull_q_slack: float = 1.5
+    # opacity-aware exact-ellipse tile rects (bin_gaussians): replace the
+    # CUDA getRect square AABB of the 3-sigma MAJOR-axis radius with the
+    # per-axis AABB of the contribution ellipse q <= qmax, where
+    # qmax = 2*ln(op_bound/ALPHA_MIN). Output-preserving by the same
+    # argument as tile_cull (a pixel with alpha >= ALPHA_MIN satisfies
+    # q <= qmax, hence lies inside the ellipse AABB), intersected with
+    # the radius rect so coverage never EXCEEDS the reference's 3-sigma
+    # truncation. Shrinks the expansion count (anisotropic flakes waste
+    # most of their major-axis square; post-opacity-reset every gaussian
+    # sits at op=0.01 where the ellipse is ~0.2x the 3-sigma area), so
+    # per-tile K-cap truncation drops AND a lower isect_per_gaussian
+    # capacity becomes safe. Drift budgets while a binning is frozen:
+    # cull_slack_px inflates the extent, cull_logit_drift bounds opacity
+    # growth, cull_q_slack multiplies qmax for conic drift.
+    tight_rect: bool = False
 
     def max_isect(self, num_gaussians: int) -> int:
         m = int(num_gaussians * self.isect_per_gaussian)
@@ -390,9 +405,61 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
     db = 32 - max(int(num_tiles + 1).bit_length(), 1)
     db = max(min(db, 24), 8)
 
-    span_x = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
-    span_y = jnp.maximum(proj.rect_max[:, 1] - proj.rect_min[:, 1], 0)
-    counts = jnp.where(proj.valid, span_x * span_y, 0).astype(jnp.int32)
+    rect_min, rect_max = proj.rect_min, proj.rect_max
+    rect_min_true, rect_max_true = proj.rect_min_true, proj.rect_max_true
+    valid = proj.valid
+    if cfg.tight_rect and opacity is not None:
+        # Opacity-aware exact-ellipse AABB (see RasterConfig.tight_rect).
+        # The contribution set {alpha >= ALPHA_MIN} = {q <= qmax} with
+        # q the conic quadratic; its AABB half-extents are
+        # sqrt(qmax * cov_xx) with cov = conic^-1 recovered elementwise.
+        cx_a, cx_b, cx_c = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+        detc = jnp.maximum(cx_a * cx_c - cx_b * cx_b, 1e-24)
+        op_bound = jnp.minimum(
+            jnp.asarray(1.0, jnp.float32),
+            opacity * float(np.exp(cull_logit_drift)))
+        qmax = jnp.maximum(
+            2.0 * (jnp.log(jnp.maximum(op_bound, 1e-12))
+                   - float(np.log(ALPHA_MIN))) * cfg.cull_q_slack, 0.0)
+        radius_f = proj.radius.astype(jnp.float32)
+        # +0.01 px absorbs float rounding in the cov recovery (division,
+        # sqrt) for pixels sitting exactly on the alpha = ALPHA_MIN level
+        ex = jnp.minimum(jnp.sqrt(qmax * cx_c / detc) + 0.01, radius_f)
+        ey = jnp.minimum(jnp.sqrt(qmax * cx_a / detc) + 0.01, radius_f)
+        gx, gy = cam.tiles_x, cam.tiles_y
+
+        def _erect(rx, ry):
+            # NOTE the CUDA getRect exclusive-max floor((x+TILE-1)/TILE)
+            # under-counts a tile when frac(x) < 1/TILE — harmless there
+            # (the radius is integer-ceiled) but NOT for fractional
+            # ellipse extents: the last covered pixel floor(u+rx) lives
+            # in tile floor((u+rx)/TILE), so exclusive max is that + 1
+            x0 = jnp.clip(jnp.floor((proj.u - rx) / TILE), 0,
+                          gx).astype(jnp.int32)
+            y0 = jnp.clip(jnp.floor((proj.v - ry) / TILE), 0,
+                          gy).astype(jnp.int32)
+            x1 = jnp.clip(jnp.floor((proj.u + rx) / TILE) + 1, 0,
+                          gx).astype(jnp.int32)
+            y1 = jnp.clip(jnp.floor((proj.v + ry) / TILE) + 1, 0,
+                          gy).astype(jnp.int32)
+            return (jnp.stack([x0, y0], axis=-1),
+                    jnp.stack([x1, y1], axis=-1))
+
+        em0, em1 = _erect(ex + cull_slack_px, ey + cull_slack_px)
+        et0, et1 = _erect(ex, ey)
+        # intersect with the radius rects: coverage never exceeds the
+        # reference's 3-sigma truncation, clip bounds are inherited
+        rect_min = jnp.maximum(rect_min, em0)
+        rect_max = jnp.minimum(rect_max, em1)
+        rect_min_true = jnp.maximum(rect_min_true, et0)
+        rect_max_true = jnp.minimum(rect_max_true, et1)
+        # op_bound < ALPHA_MIN contributes to NO pixel: zero tiles (the
+        # geometric Projected.valid / radius bookkeeping is unchanged)
+        valid = valid & (op_bound >= ALPHA_MIN)
+
+    span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
+    span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
+    counts = jnp.where(valid, span_x * span_y, 0).astype(jnp.int32)
     offs = jnp.cumsum(counts) - counts             # exclusive prefix sum
     total = offs[-1] + counts[-1]
 
@@ -411,15 +478,15 @@ def bin_gaussians(proj: Projected, cam: Camera, cfg: RasterConfig,
     # M = 2.6M while repeating a fused record is ~30 ms total — per-entry
     # random access is the binning bottleneck, not the expansion itself.
     # packed = rect_min.x (10b) | rect_min.y (10b) | span_x (10b).
-    packed = (proj.rect_min[:, 0].astype(jnp.uint32)
-              | (proj.rect_min[:, 1].astype(jnp.uint32) << 10)
+    packed = (rect_min[:, 0].astype(jnp.uint32)
+              | (rect_min[:, 1].astype(jnp.uint32) << 10)
               | (span_x.astype(jnp.uint32) << 20))
     # margin-free rect packed as 4x8 bits (tile coords < 256 <-> images up
     # to 4096 px); only consulted to flag margin-only candidates
-    packed_true = (proj.rect_min_true[:, 0].astype(jnp.uint32)
-                   | (proj.rect_min_true[:, 1].astype(jnp.uint32) << 8)
-                   | (proj.rect_max_true[:, 0].astype(jnp.uint32) << 16)
-                   | (proj.rect_max_true[:, 1].astype(jnp.uint32) << 24))
+    packed_true = (rect_min_true[:, 0].astype(jnp.uint32)
+                   | (rect_min_true[:, 1].astype(jnp.uint32) << 8)
+                   | (rect_max_true[:, 0].astype(jnp.uint32) << 16)
+                   | (rect_max_true[:, 1].astype(jnp.uint32) << 24))
     rec = jnp.stack([packed, packed_true, qz,
                      offs.astype(jnp.uint32)], axis=-1)        # [N, 4]
     rec_e = jnp.repeat(rec, counts, axis=0, total_repeat_length=M)

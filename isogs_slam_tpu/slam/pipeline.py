@@ -275,7 +275,8 @@ class SLAM:
                                  isect_per_gaussian=r["isect_per_gaussian"],
                                  tile_chunk=r["tile_chunk"],
                                  tile_cull=r.get("tile_cull", False),
-                                 cull_q_slack=r.get("cull_q_slack", 1.5))
+                                 cull_q_slack=r.get("cull_q_slack", 1.5),
+                                 tight_rect=r.get("tight_rect", False))
         # tracking composites against a mature map whose transmittance
         # saturates after ~10-20 Gaussians; a smaller per-tile cap halves
         # the gather/backward traffic with no pose-accuracy effect

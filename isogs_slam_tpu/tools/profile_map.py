@@ -21,7 +21,8 @@ import sys
 import tempfile
 
 
-def build_scene(H, W, map_iters, tile_sub=1, cull=False):
+def build_scene(H, W, map_iters, tile_sub=1, cull=False,
+                tight_rect=False, isect_per_gaussian=2.5):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +39,8 @@ def build_scene(H, W, map_iters, tile_sub=1, cull=False):
     ds = SyntheticDataset(num_frames=8, height=H, width=W,
                           n_per_wall=n_wall)
     cam = ds.cam
-    rcfg = RasterConfig(tile_cull=cull)
+    rcfg = RasterConfig(tile_cull=cull, tight_rect=tight_rect,
+                        isect_per_gaussian=isect_per_gaussian)
     lcfg = LossConfig(
         tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
@@ -140,6 +142,11 @@ def main():
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--tile-sub", type=int, default=1,
                     help="mapping.tile_subsample (fast-mapping mode)")
+    ap.add_argument("--tight-rect", action="store_true",
+                    help="enable raster.tight_rect (opacity-aware "
+                         "exact-ellipse binning rects)")
+    ap.add_argument("--isect-per-gaussian", type=float, default=2.5,
+                    help="static intersection capacity multiplier")
     ap.add_argument("--cull", action="store_true",
                     help="enable raster.tile_cull (zero-contribution "
                          "slot culling)")
@@ -155,7 +162,7 @@ def main():
 
     (state, kf_colors, kf_depths, kf_quats, kf_trans, cam, rcfg, lcfg,
      mcfg, frame) = build_scene(args.h, args.w, args.iters, args.tile_sub,
-                 args.cull)
+                 args.cull, args.tight_rect, args.isect_per_gaussian)
     print("n_gaussians:", int(jnp.sum(state.alive)), flush=True)
 
     rng = np.random.default_rng(0)
