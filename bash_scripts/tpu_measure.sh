@@ -35,6 +35,17 @@ BENCH_TILE_CULL=1 run bench_cull 900 python bench.py
 BENCH_TILE_CULL=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_cull_sub4 900 python bench.py
 
+# 2d. opacity-aware exact-ellipse binning rects (output-preserving),
+# alone, with a shrunk isect capacity (tight rects cut actual isects so
+# a lower static sort size is safe — check n_overflow in the log), and
+# the full stack
+BENCH_TIGHT_RECT=1 run bench_tight 900 python bench.py
+BENCH_TIGHT_RECT=1 BENCH_ISECT_PER_GAUSSIAN=1.5 \
+    run bench_tight_cap15 900 python bench.py
+BENCH_TIGHT_RECT=1 BENCH_TILE_CULL=1 BENCH_ISECT_PER_GAUSSIAN=1.5 \
+    BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_tight_full_stack 900 python bench.py
+
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile
     run profile_map 1200 python -m isogs_slam_tpu.tools.profile_map
