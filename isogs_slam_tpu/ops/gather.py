@@ -15,9 +15,13 @@ atomicAdd of iso_loss.cu:117-142.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_WINDOW_GATHER_OFF = bool(int(os.environ.get("ISOGS_NO_WINDOW_GATHER", "0")))
 
 
 @jax.custom_vjp
@@ -62,6 +66,15 @@ def gather_slices(table: jnp.ndarray, starts: jnp.ndarray, size: int
     stop-gradient records).
     """
     sshape = starts.shape
+    if _WINDOW_GATHER_OFF:
+        # A/B fallback (ISOGS_NO_WINDOW_GATHER=1): plain row gather with
+        # the same start-clamp semantics — one index per ROW. Used to
+        # adjudicate whether XLA lowers the slice-window gather to a
+        # serial dynamic-slice loop on a given backend/shape.
+        r = table.shape[0]
+        rows = (jnp.clip(starts.astype(jnp.int32), 0, r - size)[..., None]
+                + jnp.arange(size, dtype=jnp.int32))
+        return table[rows]
     idx = starts.reshape(-1, 1).astype(jnp.int32)
     if table.ndim == 1:
         dnums = jax.lax.GatherDimensionNumbers(
