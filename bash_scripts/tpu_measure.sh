@@ -21,8 +21,10 @@ run() { # run <name> <timeout_s> <cmd...>
     echo "== [$name] exit $rc" | tee -a "$OUT/log.txt"
 }
 
-# 1. bench exact (reference semantics) — the BENCH_r02 configuration
+# 0. window-gather A/B (ISOGS_NO_WINDOW_GATHER=1 = plain row gathers):
+# gather_slices landed unmeasured while the tunnel was down; decide here.
 run bench_exact 1200 python bench.py
+ISOGS_NO_WINDOW_GATHER=1 run bench_exact_nowg 1200 python bench.py
 
 # 2. fast modes (opt-in): mapping tile subset, then tracking subset too
 BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py

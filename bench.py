@@ -31,8 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from isogs_slam_tpu.utils.common import enable_compilation_cache
+from isogs_slam_tpu.utils.common import (acquire_tpu_lock,
+                                          enable_compilation_cache)
 
+acquire_tpu_lock()
 enable_compilation_cache()
 
 REFERENCE_FPS = 0.133

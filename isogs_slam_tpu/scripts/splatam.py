@@ -16,7 +16,8 @@ import numpy as np
 from ..slam.config import (copy_config_for_provenance, inject_defaults,
                            load_experiment_config)
 from ..slam.pipeline import SLAM
-from ..utils.common import enable_compilation_cache, seed_everything
+from ..utils.common import (acquire_tpu_lock, enable_compilation_cache,
+                            seed_everything)
 
 
 def main(argv=None):
@@ -30,6 +31,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_experiment_config(args.experiment)
+    acquire_tpu_lock()
     enable_compilation_cache()
     seed_everything(config.get("seed", 0))
 

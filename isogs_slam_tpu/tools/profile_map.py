@@ -154,7 +154,8 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))))
-    from ..utils.common import enable_compilation_cache
+    from ..utils.common import acquire_tpu_lock, enable_compilation_cache
+    acquire_tpu_lock()
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp

@@ -18,6 +18,58 @@ def params2cpu(params: dict) -> dict:
     return {k: np.asarray(v) for k, v in params.items()}
 
 
+_TPU_LOCK_FD = None  # keep the fd alive for the process lifetime
+
+
+def acquire_tpu_lock(timeout_s: float | None = None) -> bool:
+    """Serialize TPU processes on this host via a lifetime flock.
+
+    There is ONE tunneled TPU chip; two concurrent processes corrupt each
+    other's measurements (and jax.profiler traces capture device-wide
+    activity, so even "successful" overlapping runs produce garbage
+    profiles). Every TPU entry point (bench.py, tools/profile_map, the
+    splatam CLI) calls this before touching the backend. No-op when JAX
+    resolves to CPU. The lock auto-releases when the process exits (flock
+    semantics), so stale locks cannot happen.
+
+    Blocks up to `timeout_s` (default $ISOGS_TPU_LOCK_TIMEOUT or 3600 s),
+    then proceeds WITH A LOUD WARNING rather than dying — the driver's
+    round-end bench must never be wedged forever by a hung run. Returns
+    True if the lock was actually acquired.
+    """
+    global _TPU_LOCK_FD
+    if _TPU_LOCK_FD is not None:
+        return True
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in plats:
+        return True  # explicit CPU run — nothing to serialize
+    import fcntl
+    import time
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("ISOGS_TPU_LOCK_TIMEOUT", 3600))
+    fd = open("/tmp/isogs_tpu.lock", "a+")
+    t0 = time.monotonic()
+    warned = False
+    while True:
+        try:
+            fcntl.flock(fd.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _TPU_LOCK_FD = fd
+            return True
+        except OSError:
+            if time.monotonic() - t0 > timeout_s:
+                print("[tpu-lock] WARNING: another TPU process still holds "
+                      "/tmp/isogs_tpu.lock after "
+                      f"{timeout_s:.0f}s — proceeding UNSERIALIZED; "
+                      "results may be corrupted", flush=True)
+                fd.close()
+                return False
+            if not warned:
+                print("[tpu-lock] waiting for another TPU process to "
+                      "finish (/tmp/isogs_tpu.lock)...", flush=True)
+                warned = True
+            time.sleep(5.0)
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache — compiles of the big SLAM programs
     are expensive (and highly variable through the remote-compile tunnel);
