@@ -20,6 +20,31 @@ from ..utils.common import (acquire_tpu_lock, enable_compilation_cache,
                             seed_everything)
 
 
+def apply_overrides(config: dict, overrides: list[str]):
+    """Apply `--set a.b.c=value` entries in place (value = Python literal
+    when it parses, raw string otherwise). Keys must already exist — a typo
+    silently creating a new key would un-ablate the ablation."""
+    import ast
+    for item in overrides:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = config
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                raise SystemExit(f"--set: no such config path {key!r}")
+            node = node[p]
+        if not isinstance(node, dict) or parts[-1] not in node:
+            raise SystemExit(f"--set: no such config key {key!r}")
+        node[parts[-1]] = value
+        print(f"[config] override {key} = {value!r}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment", type=str,
@@ -28,9 +53,19 @@ def main(argv=None):
                         help="Stop after this frame index (inclusive)")
     parser.add_argument("--no-eval", action="store_true",
                         help="Skip the final evaluation pass")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="overrides",
+                        help="Override a config entry by dotted path, e.g. "
+                             "--set tracking.gn_iters=0 "
+                             "--set mapping.loss_weights.iso=1.0 "
+                             "(value parsed as a Python literal; bare "
+                             "strings pass through). Repeatable. Applied "
+                             "after the config module loads, recorded in "
+                             "the provenance copy's overrides.txt.")
     args = parser.parse_args(argv)
 
     config = load_experiment_config(args.experiment)
+    apply_overrides(config, args.overrides)
     acquire_tpu_lock()
     enable_compilation_cache()
     seed_everything(config.get("seed", 0))
@@ -38,6 +73,10 @@ def main(argv=None):
     results_dir = os.path.join(config["workdir"], config["run_name"])
     if not config.get("load_checkpoint", False):
         copy_config_for_provenance(args.experiment, results_dir)
+        if args.overrides:
+            os.makedirs(results_dir, exist_ok=True)
+            with open(os.path.join(results_dir, "overrides.txt"), "w") as f:
+                f.write("\n".join(args.overrides) + "\n")
 
     slam = SLAM(config)
     slam.run(end_at=args.end_at)
