@@ -21,10 +21,12 @@ run() { # run <name> <timeout_s> <cmd...>
     echo "== [$name] exit $rc" | tee -a "$OUT/log.txt"
 }
 
-# 0. window-gather A/B (ISOGS_NO_WINDOW_GATHER=1 = plain row gathers):
-# gather_slices landed unmeasured while the tunnel was down; decide here.
+# 0. window-gather A/B — DECIDED 2026-08-18: slice-window gathers lower
+# to a serial dynamic-slice while loop on TPU (0.40-0.68 FPS vs 0.78-0.79
+# row-gather); row gathers are now the default (ops/gather.py). The wg
+# variant stays here as a one-line future-compiler re-check.
 run bench_exact 1200 python bench.py
-ISOGS_NO_WINDOW_GATHER=1 run bench_exact_nowg 1200 python bench.py
+ISOGS_WINDOW_GATHER=1 run bench_exact_wg 1200 python bench.py
 
 # 2. fast modes (opt-in): mapping tile subset, then tracking subset too
 BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
@@ -38,15 +40,15 @@ BENCH_TILE_CULL=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_cull_sub4 900 python bench.py
 
 # 2d. opacity-aware exact-ellipse binning rects (output-preserving),
-# alone, with a shrunk isect capacity (tight rects cut actual isects so
-# a lower static sort size is safe — check n_overflow in the log), and
-# the full stack
+# alone and in the full stack. MEASURED 2026-08-18: at bench scale the
+# tight rects do NOT shrink isect demand (util 1.011 with or without —
+# the bench scene is isotropic high-opacity after densify), so the
+# cap-1.5 modes truncated 40% of isects (util 1.68, numbers tainted)
+# and were removed; capacity stays at the config default.
 BENCH_TIGHT_RECT=1 run bench_tight 900 python bench.py
-BENCH_TIGHT_RECT=1 BENCH_ISECT_PER_GAUSSIAN=1.5 \
-    run bench_tight_cap15 900 python bench.py
-BENCH_TIGHT_RECT=1 BENCH_TILE_CULL=1 BENCH_ISECT_PER_GAUSSIAN=1.5 \
+BENCH_TIGHT_RECT=1 BENCH_TILE_CULL=1 \
     BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_tight_full_stack 900 python bench.py
+    run bench_full_stack 900 python bench.py
 
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile

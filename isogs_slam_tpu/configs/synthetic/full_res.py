@@ -62,11 +62,16 @@ config = dict(
         num_iters=40,
         # anneal the pose-optimizer bounce (see TrackingConfig.lr_decay)
         lr_decay=0.92,
-        # point-to-plane ICP GN polish after the Adam loop (slam/icp.py):
-        # second-order depth alignment below the photometric trough bias
-        gn_iters=3,
+        # point-to-plane ICP GN polish after the Adam loop (slam/icp.py).
+        # MEASURED OFF (2026-08-18 ablation, 30 frames): gn_iters=3 alone
+        # drove ATE to 73.4 cm (guard acceptance 0.97 — it accepts steps
+        # that wreck the trajectory), while pyramid-only reached 1.22 cm.
+        # Keep 0 until the guard failure is understood (see NOTES.md).
+        gn_iters=0,
         # coarse-to-fine: one 2x-downsampled pass widens the photometric
-        # basin for this trajectory's ~10-15 px/frame motion
+        # basin for this trajectory's ~10-15 px/frame motion. MEASURED
+        # (2026-08-18, 30 frames): pyramid-only ATE 1.22 cm vs 1.90 cm
+        # without — breaks the round-1 2.66 cm floor.
         pyramid_levels=2,
         pyramid_iters=15,
         use_sil_for_loss=True,

@@ -21,7 +21,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_WINDOW_GATHER_OFF = bool(int(os.environ.get("ISOGS_NO_WINDOW_GATHER", "0")))
+# MEASURED (2026-08-18, real v5e chip, bench.py exact semantics): the
+# slice-window gather LOWERS TO A SERIAL dynamic-slice WHILE LOOP on TPU
+# (profile: while.107 1150 ms/iter + constant_dynamic-slice fusions),
+# exactly like the windowed scatter trap in NOTES.md lever 1e. Bench A/B:
+# 0.395 FPS with window gathers vs 0.792 FPS with plain row gathers.
+# Default is therefore the ROW-GATHER path; set ISOGS_WINDOW_GATHER=1 to
+# re-try the slice-window lowering on a future compiler.
+_WINDOW_GATHER_OFF = (
+    bool(int(os.environ.get("ISOGS_NO_WINDOW_GATHER", "0")))
+    or not bool(int(os.environ.get("ISOGS_WINDOW_GATHER", "0"))))
 
 
 @jax.custom_vjp
@@ -67,10 +76,11 @@ def gather_slices(table: jnp.ndarray, starts: jnp.ndarray, size: int
     """
     sshape = starts.shape
     if _WINDOW_GATHER_OFF:
-        # A/B fallback (ISOGS_NO_WINDOW_GATHER=1): plain row gather with
-        # the same start-clamp semantics — one index per ROW. Used to
-        # adjudicate whether XLA lowers the slice-window gather to a
-        # serial dynamic-slice loop on a given backend/shape.
+        # DEFAULT path (see _WINDOW_GATHER_OFF above): plain row gather
+        # with the same start-clamp semantics — one index per ROW. The
+        # slice-window lowering measured 2x SLOWER end-to-end on TPU
+        # (serial dynamic-slice while loop); ISOGS_WINDOW_GATHER=1
+        # re-enables it for future-compiler A/Bs.
         r = table.shape[0]
         rows = (jnp.clip(starts.astype(jnp.int32), 0, r - size)[..., None]
                 + jnp.arange(size, dtype=jnp.int32))

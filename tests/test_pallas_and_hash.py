@@ -110,11 +110,16 @@ def test_iso_hash_gradients_finite_with_dead_rows():
         assert int(jnp.sum(~jnp.isfinite(gg))) == 0
 
 
-def test_gather_slices_windows():
+@pytest.mark.parametrize("window_lowering", [False, True])
+def test_gather_slices_windows(window_lowering, monkeypatch):
     """gather_slices == table[start:start+size] for in-range starts, in 1D
     and 2D; starts at/near the end clamp to the last full window (callers
-    pad with sentinel rows so clamping never touches real data)."""
-    from isogs_slam_tpu.ops.gather import gather_slices
+    pad with sentinel rows so clamping never touches real data). Both
+    lowerings (row gather default; slice-window gather opt-in) must agree."""
+    from isogs_slam_tpu.ops import gather as gather_mod
+    monkeypatch.setattr(gather_mod, "_WINDOW_GATHER_OFF",
+                        not window_lowering)
+    gather_slices = gather_mod.gather_slices
     rng = np.random.default_rng(3)
     R, C, S = 97, 5, 4
     tbl2 = jnp.asarray(rng.normal(size=(R, C)), jnp.float32)
