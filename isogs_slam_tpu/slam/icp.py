@@ -126,7 +126,17 @@ def gn_depth_polish(raw: jnp.ndarray, counts: jnp.ndarray,
         """One render -> (JtJ [6,6], Jtr [6], p2p RMS, ok count)."""
         _, depth, sil, _, _ = render_rgbd_sil_slots(
             raw, counts, q, t, cam, rcfg)
-        d_model = jax.lax.stop_gradient(depth[0])
+        sil = jax.lax.stop_gradient(sil)
+        # The composited depth channel is sum(w_i z_i) with sum(w_i) =
+        # silhouette (rasterize.render_rgbd_sil), i.e. SILHOUETTE-SCALED:
+        # on iso-regularized walls (sil ~0.85-0.95) the raw channel sits
+        # 5-15% closer than the surface. gt_depth is SENSOR depth, so
+        # aligning to the raw channel drags the pose toward a shrunk
+        # surface every frame — measured 73 cm ATE over 30 full-res
+        # frames while p2p RMS and the photometric guard both stayed
+        # happy (the map bakes the drift in). Normalize to the
+        # conditional expected depth E[z | hit] = depth / sil.
+        d_model = jax.lax.stop_gradient(depth[0]) / jnp.maximum(sil, 1e-6)
         model_valid = ((sil > gcfg.sil_thres) & (d_model > cam.near)
                        & jnp.isfinite(d_model))
         Y = backproject_grid(d_model, cam)

@@ -392,8 +392,10 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                                                  b1.tile_gauss), b1.tile_count
         else:
             gn_raw, gn_counts = raw, counts
-        gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping,
-                        sil_thres=min(lcfg.sil_thres, 0.9))
+        # NOTE: GN keeps its own 0.9 confidence gate regardless of the
+        # (possibly much looser) tracking-loss sil_thres — low-sil pixels
+        # have the least reliable normalized depth (see icp.linearize).
+        gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping)
         pq, pt, c0, c1 = gn_depth_polish(gn_raw, gn_counts, best_q, best_t,
                                          gt_depth, cam, rcfg, gcfg)
 

@@ -144,6 +144,54 @@ def test_gn_polish_recovers_perturbed_pose():
     assert tr1 < 0.002, tr1            # < 2 mm camera-center error
 
 
+def test_gn_unbiased_on_semi_transparent_wall():
+    """Regression for the 73-cm full-res ATE collapse (NOTES.md session
+    5): the composited depth channel is silhouette-scaled (sum w_i z_i,
+    sum w_i = sil < 1), so with SENSOR depth as gt the polish aligned the
+    true surface to a ~sil-shrunk model surface and dragged the pose
+    every frame. With the sil-normalized model depth, a pose that starts
+    AT the ground truth must stay there even when sil < 1."""
+    rng = np.random.default_rng(5)
+    xs = np.arange(-1.7, 1.7, 0.08)
+    ys = np.arange(-1.4, 1.4, 0.08)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(),
+                    np.full(gx.size, 2.6)], axis=1).astype(np.float32)
+    n = pts.shape[0]
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    params = GaussianParams(
+        means3d=jnp.asarray(pts),
+        rgb_colors=jnp.asarray(rng.uniform(0.2, 0.9, (n, 3)), jnp.float32),
+        unnorm_rotations=jnp.asarray(quats),
+        # semi-transparent: composited sil lands in (0.9, 0.995) so the
+        # depth channel is visibly scaled but pixels pass the 0.9 gate
+        logit_opacities=jnp.full((n, 1), 0.0, jnp.float32),
+        log_scales=jnp.full((n, 3), np.log(0.09), jnp.float32))
+    alive = jnp.ones(n, bool)
+    K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]])
+    cam = Camera.from_intrinsics(K, W, H)
+    rcfg = RasterConfig(backend="xla", isect_per_gaussian=24.0)
+
+    q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.asarray([0.0, 0.0, 0.0])
+    raw, counts = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
+    _, depth_r, sil, _, _ = render_rgbd_sil_slots(
+        raw, counts, q_gt, t_gt, cam, rcfg)
+    sil_mean = float(jnp.mean(sil))
+    assert 0.9 < sil_mean < 0.995, sil_mean     # scaling is non-trivial
+    # raw channel really is sil-scaled (the failure precondition)
+    assert float(jnp.mean(depth_r[0])) < 2.6 * 0.995
+
+    gt_depth = jnp.full((1, H, W), 2.6, jnp.float32)   # TRUE sensor depth
+    gcfg = GNConfig(iters=4, damping=1e-3)
+    q1, t1, _, _ = gn_depth_polish(raw, counts, q_gt, t_gt, gt_depth,
+                                   cam, rcfg, gcfg)
+    _, tr = _pose_err(np.asarray(q1), np.asarray(t1), q_gt, t_gt)
+    # pre-fix this drifted several cm along the wall normal per iteration
+    assert tr < 0.003, tr
+
+
 def test_track_frame_gn_beats_adam_floor():
     from isogs_slam_tpu.slam.losses import LossConfig
     from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
