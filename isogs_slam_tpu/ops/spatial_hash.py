@@ -106,10 +106,17 @@ def build_hash_grid(points, alive, cell_size, table_size: int = 0
     h = _hash_cells(cells, table_size)
     h = jnp.where(alive, h, table_size)  # dead points sort past every bucket
     order = jnp.argsort(h).astype(jnp.int32)
-    h_sorted = h[order]
-    buckets = jnp.arange(table_size, dtype=jnp.int32)
-    starts = jnp.searchsorted(h_sorted, buckets, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(h_sorted, buckets, side="right").astype(jnp.int32)
+    # Bucket ranges over the hash-sorted order. NOT searchsorted: XLA
+    # lowers searchsorted(h_sorted, arange(H)) to a binary-search while
+    # loop — H random gathers x log2(C) steps; MEASURED 315 ms per call
+    # (+314 ms of helper fusions) at H=2^21, C=1.2M on v5e, i.e. ~1.26
+    # s/phase for the left+right pair. A bucket histogram via ONE 1D
+    # scatter-add + cumsum gives the identical starts/ends in ~15 ms:
+    # ends[b] = #points with h <= b, starts[b] = ends[b] - counts[b].
+    counts = jnp.zeros((table_size,), jnp.int32).at[h].add(
+        1, mode="drop")  # dead points carry h == table_size -> dropped
+    ends = jnp.cumsum(counts, dtype=jnp.int32)
+    starts = ends - counts
     cell_of = _pack_cells(cells)[order]
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     rec = jnp.concatenate(

@@ -110,6 +110,27 @@ def test_iso_hash_gradients_finite_with_dead_rows():
         assert int(jnp.sum(~jnp.isfinite(gg))) == 0
 
 
+def test_hash_grid_bucket_ranges_match_searchsorted():
+    """The histogram+cumsum bucket ranges (build_hash_grid) must equal the
+    searchsorted definition they replaced (the latter lowered to a 315 ms
+    serial binary-search loop per call at 2^21 buckets on TPU)."""
+    from isogs_slam_tpu.ops.spatial_hash import (_hash_cells, _cell_coords,
+                                                 build_hash_grid)
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(4096, 3)), jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=4096) < 0.8)
+    cell = jnp.asarray(0.3, jnp.float32)
+    g = build_hash_grid(pts, alive, cell, table_size=1 << 12)
+    h = _hash_cells(_cell_coords(pts, cell), g.table_size)
+    h = np.asarray(jnp.where(alive, h, g.table_size))
+    h_sorted = np.sort(h)
+    buckets = np.arange(g.table_size)
+    np.testing.assert_array_equal(
+        np.asarray(g.starts), np.searchsorted(h_sorted, buckets, "left"))
+    np.testing.assert_array_equal(
+        np.asarray(g.ends), np.searchsorted(h_sorted, buckets, "right"))
+
+
 @pytest.mark.parametrize("window_lowering", [False, True])
 def test_gather_slices_windows(window_lowering, monkeypatch):
     """gather_slices == table[start:start+size] for in-range starts, in 1D
