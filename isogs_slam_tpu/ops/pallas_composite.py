@@ -40,6 +40,7 @@ gdata only (counts are integers); upstream, the expansion-order segreduce
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +106,19 @@ def _feat_ext(gd, F, sq_col):
     return jnp.concatenate([feat, fs * fs], axis=1)
 
 
-TPB = 8                  # tiles per program (amortizes per-program overhead)
+TPB = int(os.environ.get("ISOGS_COMPOSITE_TPB", "8"))
+# tiles per program (amortizes per-program overhead)
+
+
+def _use_batch() -> bool:
+    """Batched-tile kernel variant: process all TPB tiles of a program
+    jointly (leading TPB dim on every intermediate, batched dot_generals)
+    instead of a per-tile Python loop. 8x fewer op issues per chunk; the
+    early-exit granularity coarsens from per-tile to per-program (a
+    saturated/past-count tile inside a live batch computes exact zeros).
+    Output-identical by construction. Read per call so tests/bench can
+    A/B without reimport."""
+    return os.environ.get("ISOGS_COMPOSITE_BATCH", "0") == "1"
 
 
 def _fwd_kernel(counts_ref, gdata_ref, out_ref, tsum_ref, carr_out_ref,
@@ -266,6 +279,213 @@ def _bwd_kernel(counts_ref, gdata_ref, gout_ref, gt_ref, carr_ref,
                 suffix_ref[0:1, :] += jnp.sum(gww, axis=0, keepdims=True)
 
 
+# ---------------------------------------------------------------------------
+# Batched-tile kernel variant (_use_batch): identical math and identical
+# host-side layouts/block specs, but the per-tile Python loop is lifted into
+# a leading TPB dim. Each VPU op issues once on [TPB, CHUNK, P] (vs TPB
+# times on [CHUNK, P]) and the triangular cumsums become batched
+# dot_generals that keep the MXU streaming. The per-(tile, chunk) skip
+# coarsens to per-(program, chunk): a tile that is past-count or saturated
+# inside a still-live batch computes exact zeros (contrib/include mask it),
+# so outputs and gradients are unchanged.
+
+
+def _batch_pixel_coords(i, tiles_x):
+    """(px, py) [TPB, 1, P] f32 pixel coords of program i's TPB tiles."""
+    tid = i * TPB + jax.lax.broadcasted_iota(jnp.int32, (TPB, 1, P), 0)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (TPB, 1, P), 2)
+    if tiles_x is None:
+        ox = jnp.zeros_like(tid)
+        oy = jnp.zeros_like(tid)
+    else:
+        ox = (tid % tiles_x) * TILE
+        oy = (tid // tiles_x) * TILE
+    px = (pid % TILE + ox).astype(jnp.float32)
+    py = (pid // TILE + oy).astype(jnp.float32)
+    return px, py
+
+
+def _batch_counts(counts_ref, i):
+    """(cnt [TPB, 1, 1] i32, max scalar) of program i's tile counts, read
+    from the scalar-prefetch ref."""
+    parts = [counts_ref[i * TPB + t].reshape(1, 1) for t in range(TPB)]
+    cnt = jnp.concatenate(parts, axis=0).reshape(TPB, 1, 1)
+    mc = parts[0][0, 0]
+    for t in range(1, TPB):
+        mc = jnp.maximum(mc, parts[t][0, 0])
+    return cnt, mc
+
+
+def _chunk_alpha_b(gd, px, py, cnt, base):
+    """Batched _chunk_alpha. gd [TPB, CHUNK, 6+F]; px/py [TPB, 1, P];
+    cnt [TPB, 1, 1] -> a/contrib/alpha/power/dx/dy [TPB, CHUNK, P]."""
+    u = gd[:, :, 0:1]
+    v = gd[:, :, 1:2]
+    A = gd[:, :, 2:3]
+    B = gd[:, :, 3:4]
+    Cc = gd[:, :, 4:5]
+    op = gd[:, :, 5:6]
+    dx = u - px                     # [TPB, CHUNK, P]
+    dy = v - py
+    power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    slot = base + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK, 1), 1)
+    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & (slot < cnt)
+    a = jnp.where(contrib, alpha, 0.0)
+    return a, contrib, alpha, power, dx, dy
+
+
+def _feat_ext_b(gd, F, sq_col):
+    feat = gd[:, :, 6:6 + F]
+    if sq_col is None:
+        return feat
+    fs = gd[:, :, 6 + sq_col:7 + sq_col]
+    return jnp.concatenate([feat, fs * fs], axis=2)
+
+
+_DN_TRI = (((2,), (1,)), ((0,), (0,)))    # [TPB,C,C] x [TPB,C,P] -> [TPB,C,P]
+
+
+def _fwd_kernel_batch(counts_ref, gdata_ref, out_ref, tsum_ref,
+                      carr_out_ref, carry_ref, *, n_chunks, F, Fo, sq_col,
+                      tiles_x):
+    i = pl.program_id(0)
+    tri_b = jnp.broadcast_to(_tri_strict_lower(), (TPB, CHUNK, CHUNK))
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    tsum_ref[:] = jnp.zeros_like(tsum_ref)
+    carry_ref[:] = jnp.zeros_like(carry_ref)          # [TPB, 1, P]
+
+    px, py = _batch_pixel_coords(i, tiles_x)
+    cnt, mc = _batch_counts(counts_ref, i)
+
+    for c in range(n_chunks):
+        base = c * CHUNK
+
+        @pl.when((base < mc) & (jnp.max(carry_ref[:]) >= LOG_T_EPS))
+        def _():
+            gd = gdata_ref[:, pl.ds(base, CHUNK), :]  # [TPB, CHUNK, 6+F]
+            a, contrib, _, _, _, _ = _chunk_alpha_b(gd, px, py, cnt, base)
+            l = jnp.log1p(-a)                         # [TPB, CHUNK, P]
+            s_excl = jax.lax.dot_general(
+                tri_b, l, dimension_numbers=_DN_TRI,
+                preferred_element_type=jnp.float32) + carry_ref[:]
+            t_excl = jnp.exp(s_excl)
+            include = contrib & (t_excl * (1.0 - a) >= T_EPS)
+            w = jnp.where(include, a * t_excl, 0.0)
+            feat = _feat_ext_b(gd, F, sq_col)         # [TPB, CHUNK, Fo]
+            # out[t, p, fo] += sum_k w[t, k, p] feat[t, k, fo]
+            out_ref[:] += jax.lax.dot_general(
+                w, feat, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [TPB, P, Fo]
+            tsum_ref[:] += jnp.sum(w, axis=1, keepdims=True)
+            carry_ref[:] += jnp.sum(l, axis=1, keepdims=True)
+            carr_out_ref[:, c, :] = carry_ref[:, 0, :]
+
+
+def _bwd_kernel_batch(counts_ref, gdata_ref, gout_ref, gt_ref, carr_ref,
+                      dgdata_ref, suffix_ref, sat_ref,
+                      *, n_chunks, F, Fo, sq_col, tiles_x, n_tiles):
+    i = pl.program_id(0)
+    tri_l_b = jnp.broadcast_to(_tri_strict_lower(), (TPB, CHUNK, CHUNK))
+    tri_u_b = jnp.broadcast_to(_tri_strict_upper(), (TPB, CHUNK, CHUNK))
+
+    dgdata_ref[:] = jnp.zeros_like(dgdata_ref)
+
+    px, py = _batch_pixel_coords(i, tiles_x)
+    cnt, mc = _batch_counts(counts_ref, i)
+
+    # Rows of the last program's blocks beyond n_tiles are out-of-bounds
+    # (Pallas boundary reads: garbage/NaN). The forward's carry for those
+    # rows is exactly 0 (their a, hence l, is identically 0), so pass 1
+    # must substitute 0 — a garbage/NaN max would break the sat chain and
+    # silently zero valid tiles' gradients in the same program.
+    row_ok = (i * TPB + jax.lax.broadcasted_iota(jnp.int32, (TPB, 1, 1), 0)
+              < n_tiles)
+
+    # pass 1: executed-chunk count at batch granularity — chunk c ran iff
+    # the batch reached it (base < max count) and the previous chunk's
+    # stashed carry was not yet saturated across every tile and pixel.
+    sat_ref[0] = 0
+    for c in range(n_chunks):
+        base = c * CHUNK
+        if c == 0:
+            live = jnp.ones((), bool)
+        else:
+            carr_prev = jnp.where(row_ok, carr_ref[:, c - 1:c, :], 0.0)
+            live = jnp.max(carr_prev) >= LOG_T_EPS
+
+        @pl.when((base < mc) & (sat_ref[0] == c) & live)
+        def _():
+            sat_ref[0] = c + 1
+
+    gout = gout_ref[:]                                 # [TPB, P, Fo]
+    gt = gt_ref[:]                                     # [TPB, 1, P]
+
+    suffix_ref[:] = jnp.zeros_like(suffix_ref)         # [TPB, 1, P]
+    for c in range(n_chunks - 1, -1, -1):
+        base = c * CHUNK
+
+        @pl.when((base < mc) & (c < sat_ref[0]))
+        def _():
+            gd = gdata_ref[:, pl.ds(base, CHUNK), :]
+            a, contrib, alpha, power, dx, dy = _chunk_alpha_b(
+                gd, px, py, cnt, base)
+            l = jnp.log1p(-a)
+            if c == 0:
+                carry_in = jnp.zeros((TPB, 1, P), jnp.float32)
+            else:
+                carry_in = carr_ref[:, c - 1:c, :]
+            s_excl = jax.lax.dot_general(
+                tri_l_b, l, dimension_numbers=_DN_TRI,
+                preferred_element_type=jnp.float32) + carry_in
+            t_excl = jnp.exp(s_excl)
+            include = contrib & (t_excl * (1.0 - a) >= T_EPS)
+            w = jnp.where(include, a * t_excl, 0.0)
+            feat = _feat_ext_b(gd, F, sq_col)
+
+            # gw[t, k, p] = sum_f feat[t, k, f] gout[t, p, f] + gt[t, 0, p]
+            gw = jax.lax.dot_general(
+                feat, gout, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + gt
+            gww = gw * w
+            suf = jax.lax.dot_general(
+                tri_u_b, gww, dimension_numbers=_DN_TRI,
+                preferred_element_type=jnp.float32) + suffix_ref[:]
+
+            da = (jnp.where(include, gw * t_excl, 0.0)
+                  - jnp.where(contrib, suf / (1.0 - a), 0.0))
+            live_alpha = contrib & (alpha < ALPHA_MAX)
+            dalpha = jnp.where(live_alpha, da, 0.0)
+            dop_pix = dalpha * jnp.exp(power)          # [TPB, CHUNK, P]
+            dpower = dalpha * alpha
+            A = gd[:, :, 2:3]
+            B = gd[:, :, 3:4]
+            Cc = gd[:, :, 4:5]
+            ddx = (-A * dx - B * dy) * dpower
+            ddy = (-Cc * dy - B * dx) * dpower
+            dA = jnp.sum(-0.5 * dx * dx * dpower, axis=2, keepdims=True)
+            dB = jnp.sum(-dx * dy * dpower, axis=2, keepdims=True)
+            dC = jnp.sum(-0.5 * dy * dy * dpower, axis=2, keepdims=True)
+            du = jnp.sum(ddx, axis=2, keepdims=True)
+            dv = jnp.sum(ddy, axis=2, keepdims=True)
+            dop = jnp.sum(dop_pix, axis=2, keepdims=True)
+            # dfeat[t, k, fo] = sum_p w[t, k, p] gout[t, p, fo]
+            dfeat = jax.lax.dot_general(
+                w, gout, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # [TPB, CHUNK, Fo]
+            if sq_col is not None:
+                fs = gd[:, :, 6 + sq_col:7 + sq_col]
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, F), 2) == sq_col).astype(jnp.float32)
+                dfeat = (dfeat[:, :, :F]
+                         + (2.0 * fs * dfeat[:, :, F:F + 1]) * onehot)
+            dgdata_ref[:, pl.ds(base, CHUNK), :] = jnp.concatenate(
+                [du, dv, dA, dB, dC, dop, dfeat],
+                axis=2).astype(dgdata_ref.dtype)
+            suffix_ref[:] += jnp.sum(gww, axis=1, keepdims=True)
+
+
 def _pad_counts(counts, T):
     pad = (-T) % TPB
     if pad:
@@ -280,8 +500,11 @@ def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
     K = gdata.shape[1]
     n_chunks = K // CHUNK
     Fo = F + (0 if sq_col is None else 1)
-    kernel = functools.partial(_fwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
-                               sq_col=sq_col, tiles_x=tiles_x)
+    batch = _use_batch()
+    kernel = functools.partial(
+        _fwd_kernel_batch if batch else _fwd_kernel,
+        n_chunks=n_chunks, F=F, Fo=Fo, sq_col=sq_col, tiles_x=tiles_x)
+    carry_shape = (TPB, 1, P) if batch else (1, P)
     out, tsum, carries = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -294,7 +517,7 @@ def _fwd_call(gdata, counts, F: int, tiles_x: int, interpret: bool,
                 pl.BlockSpec((TPB, 1, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((TPB, n_chunks, P), lambda i, c: (i, 0, 0)),
             ],
-            scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM(carry_shape, jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, P, Fo), jnp.float32),
@@ -319,8 +542,16 @@ def _bwd_call(gdata, counts, gout, gtsum, carries, F: int, tiles_x: int,
     gtsum = gtsum.reshape(T, 1, P)
     n_chunks = K // CHUNK
     Fo = F + (0 if sq_col is None else 1)
-    kernel = functools.partial(_bwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
-                               sq_col=sq_col, tiles_x=tiles_x)
+    batch = _use_batch()
+    if batch:
+        kernel = functools.partial(
+            _bwd_kernel_batch, n_chunks=n_chunks, F=F, Fo=Fo,
+            sq_col=sq_col, tiles_x=tiles_x, n_tiles=T)
+    else:
+        kernel = functools.partial(
+            _bwd_kernel, n_chunks=n_chunks, F=F, Fo=Fo,
+            sq_col=sq_col, tiles_x=tiles_x)
+    suffix_shape = (TPB, 1, P) if batch else (1, P)
     dgdata = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -333,7 +564,7 @@ def _bwd_call(gdata, counts, gout, gtsum, carries, F: int, tiles_x: int,
                 pl.BlockSpec((TPB, n_chunks, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((TPB, K, 6 + F), lambda i, c: (i, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
+            scratch_shapes=[pltpu.VMEM(suffix_shape, jnp.float32),
                             pltpu.SMEM((1,), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((T, K, 6 + F), out_dtype),

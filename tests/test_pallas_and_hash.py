@@ -55,6 +55,52 @@ def test_pallas_composite_matches_xla():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
 
 
+def test_pallas_batch_kernel_matches_per_tile(monkeypatch):
+    """The batched-tile kernel variant (ISOGS_COMPOSITE_BATCH=1) must
+    produce identical outputs AND gradients to the per-tile-loop kernel:
+    the lifted TPB dim changes op issue granularity, not math. Exercises
+    multi-chunk tiles, empty tiles, saturation skips and the sq_col fold
+    through composite_tiles' custom_vjp directly."""
+    from isogs_slam_tpu.ops.pallas_composite import CHUNK, composite_tiles
+
+    rng = np.random.default_rng(3)
+    T, K, F = 12, 2 * CHUNK, 4         # 12 tiles: exercises TPB padding
+    tiles_x = 4
+    gdata = np.zeros((T, K, 6 + F), np.float32)
+    # place gaussians inside each tile's pixel box so footprints contribute
+    for t in range(T):
+        ox, oy = (t % tiles_x) * 16, (t // tiles_x) * 16
+        gdata[t, :, 0] = rng.uniform(ox - 2, ox + 18, K)       # u
+        gdata[t, :, 1] = rng.uniform(oy - 2, oy + 18, K)       # v
+    gdata[:, :, 2] = rng.uniform(0.05, 0.6, (T, K))            # A
+    gdata[:, :, 3] = rng.uniform(-0.05, 0.05, (T, K))          # B
+    gdata[:, :, 4] = rng.uniform(0.05, 0.6, (T, K))            # C
+    gdata[:, :, 5] = rng.uniform(0.0, 1.2, (T, K))             # opacity
+    gdata[:, :, 6:] = rng.uniform(0, 2, (T, K, F))
+    counts = rng.integers(0, K + 1, T).astype(np.int32)
+    counts[0] = 0                       # empty tile
+    counts[1] = K                       # full tile
+    gdata = jnp.asarray(gdata)
+    counts = jnp.asarray(counts)
+
+    def run(batch):
+        monkeypatch.setenv("ISOGS_COMPOSITE_BATCH", "1" if batch else "0")
+
+        def loss(gd):
+            out, final_t = composite_tiles(gd, counts, F, tiles_x, True, 3)
+            return jnp.sum(out * out) + jnp.sum(final_t), (out, final_t)
+
+        (l, outs), g = jax.value_and_grad(loss, has_aux=True)(gdata)
+        return outs, g
+
+    (o1, t1), g1 = run(False)
+    (o2, t2), g2 = run(True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_hash_knn_recall():
     from isogs_slam_tpu.ops.iso_loss import knn_blocked
     from isogs_slam_tpu.ops.spatial_hash import build_hash_grid, knn_hash
