@@ -192,6 +192,79 @@ def test_gn_unbiased_on_semi_transparent_wall():
     assert tr < 0.003, tr
 
 
+def test_gn_solve_eigencut_blocks_null_directions():
+    """Rank-deficient normal equations (one wall filling the view): the
+    damped inverse amplifies Jtr noise in near-null directions by
+    ~1/damping; the eigencut solve must step exactly zero there while
+    still solving the observable block."""
+    from isogs_slam_tpu.slam.icp import gn_solve
+
+    # crafted system: directions 0,1,2 observable (eigenvalues 1e4, after
+    # Jacobi scaling ~1), directions 3,4,5 near-null (1e-3 relative)
+    lam = np.array([1e4, 8e3, 5e3, 10.0, 6.0, 3.0])
+    rng = np.random.default_rng(11)
+    Q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    JtJ = jnp.asarray(Q @ np.diag(lam) @ Q.T, jnp.float32)
+    # residual projection: real signal in observable dirs, noise in null
+    b = Q @ np.array([50.0, -30.0, 20.0, 0.5, -0.4, 0.3])
+    Jtr = jnp.asarray(b, jnp.float32)
+
+    damped = np.asarray(gn_solve(JtJ, Jtr, GNConfig(eig_floor=0.0)))
+    cut = np.asarray(gn_solve(JtJ, Jtr, GNConfig(eig_floor=1e-2)))
+
+    # project steps onto the eigenbasis
+    d_damp = Q.T @ damped
+    d_cut = Q.T @ cut
+    # the damped solve walks far along near-null directions...
+    assert np.abs(d_damp[3:]).max() > 10 * np.abs(d_damp[:3]).max()
+    # ...the eigencut suppresses that walk by >= 10x (not exactly zero:
+    # the cut subspace lives in the Jacobi-scaled metric, so a little
+    # leakage into this crafted basis remains)
+    assert np.abs(d_cut[3:]).max() < np.abs(d_damp[3:]).max() / 10
+    # and still solves the observable block like plain GN
+    np.testing.assert_allclose(d_cut[:3], -(Q.T @ b)[:3] / lam[:3],
+                               rtol=0.05)
+
+
+def test_gn_polish_flat_wall_noise_does_not_slide():
+    """Single wall + noisy sensor depth: in-plane translations and the
+    in-plane rotation are unobservable for point-to-plane. The default
+    eigencut polish must stay at the ground-truth pose (it cannot fix the
+    null directions but must not move along them chasing noise)."""
+    rng = np.random.default_rng(9)
+    xs = np.arange(-1.7, 1.7, 0.08)
+    ys = np.arange(-1.4, 1.4, 0.08)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(),
+                    np.full(gx.size, 2.6)], axis=1).astype(np.float32)
+    n = pts.shape[0]
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    params = GaussianParams(
+        means3d=jnp.asarray(pts),
+        rgb_colors=jnp.asarray(rng.uniform(0.2, 0.9, (n, 3)), jnp.float32),
+        unnorm_rotations=jnp.asarray(quats),
+        logit_opacities=jnp.full((n, 1), 4.0, jnp.float32),
+        log_scales=jnp.full((n, 3), np.log(0.09), jnp.float32))
+    alive = jnp.ones(n, bool)
+    K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]])
+    cam = Camera.from_intrinsics(K, W, H)
+    rcfg = RasterConfig(backend="xla", isect_per_gaussian=24.0)
+
+    q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.asarray([0.0, 0.0, 0.0])
+    raw, counts = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
+    # noisy sensor depth of the true wall (2 mm)
+    noise = rng.normal(scale=0.002, size=(1, H, W)).astype(np.float32)
+    gt_depth = jnp.asarray(np.full((1, H, W), 2.6, np.float32) + noise)
+
+    gcfg = GNConfig(iters=6, damping=1e-3)        # default eig_floor
+    q1, t1, _, _ = gn_depth_polish(raw, counts, q_gt, t_gt, gt_depth,
+                                   cam, rcfg, gcfg)
+    _, tr = _pose_err(np.asarray(q1), np.asarray(t1), q_gt, t_gt)
+    assert tr < 0.004, tr
+
+
 def test_track_frame_gn_beats_adam_floor():
     from isogs_slam_tpu.slam.losses import LossConfig
     from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
