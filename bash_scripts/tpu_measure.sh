@@ -3,9 +3,12 @@
 # ONE tunneled chip: runs everything strictly serially. Outputs land in
 # experiments/tpu_measure_<ts>/ so numbers survive the session.
 #
-# Usage: bash bash_scripts/tpu_measure.sh [quick|full]
-#   quick: bench exact + fast modes (~15 min incl. compiles)
-#   full:  quick + profile_map + full_res 30-frame quality run (~1 h)
+# Usage: bash bash_scripts/tpu_measure.sh [quick|full|quality]
+#   quick:   bench exact + fast modes (~15 min incl. compiles)
+#   full:    quick + profile_map + full_res 30-frame quality run (~1 h)
+#   quality: the quality-ablation battery ONLY — full_res + gn3
+#            (eigencut), mapping-subsample-only, tracking-subsample-only
+#            (~1.5 h; adjudicates NOTES.md open quality questions)
 set -u
 MODE="${1:-quick}"
 TS=$(date +%Y%m%d_%H%M%S)
@@ -20,6 +23,30 @@ run() { # run <name> <timeout_s> <cmd...>
     local rc=${PIPESTATUS[0]}   # the command's status, not tail's
     echo "== [$name] exit $rc" | tee -a "$OUT/log.txt"
 }
+
+quality_run() { # quality_run <name> <config> — full_res-style 30-frame run
+    local name="$1" cfg="$2" seq="$3"
+    rm -rf "experiments/Synthetic/${seq}"
+    run "$name" 3500 python -m isogs_slam_tpu.scripts.splatam "$cfg" \
+        --end-at 30
+    cp "experiments/Synthetic/${seq}/eval/eval_summary.json" \
+       "$OUT/${name}_eval_summary.json" 2>/dev/null || true
+    cp "experiments/Synthetic/${seq}/runtime_stats.json" \
+       "$OUT/${name}_runtime_stats.json" 2>/dev/null || true
+}
+
+if [ "$MODE" = "quality" ]; then
+    A=isogs_slam_tpu/configs/synthetic/ablations
+    quality_run gn3 "$A/full_res_gn3.py" synthetic_room_fullres_gn3_0
+    quality_run mapsub4 "$A/full_res_mapsub4.py" \
+        synthetic_room_fullres_mapsub_0
+    quality_run tracksub4 "$A/full_res_tracksub4.py" \
+        synthetic_room_fullres_tracksub_0
+    echo "== done; results in $OUT"
+    grep -H '"Final Average ATE\|"Average PSNR' \
+        "$OUT"/*_eval_summary.json 2>/dev/null || true
+    exit 0
+fi
 
 # 0. window-gather A/B — DECIDED 2026-08-18: slice-window gathers lower
 # to a serial dynamic-slice while loop on TPU (0.40-0.68 FPS vs 0.78-0.79

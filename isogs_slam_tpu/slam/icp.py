@@ -51,6 +51,21 @@ class GNConfig(NamedTuple):
     # chasing residual noise (the tangential-slide failure). Eigencut
     # zeroes those components instead of damping them. 0 disables.
     eig_floor: float = 1e-4
+    # Photometric block weight for the combined (colored-ICP) solve,
+    # relative to the point-to-plane block after per-block robust
+    # normalization; 0 = depth-only. MEASURED (full_res 30 frames,
+    # NOTES.md session 7): depth-only p2p is structurally drift-prone on
+    # low-texture rooms — in-plane pose information exists only in the
+    # image, so the combined system is what makes GN full-rank where
+    # there is texture (ATE 13.2 cm depth-only w/ eigencut vs 1.22
+    # Adam-pyramid; depth L1 0.78 showed the polish was locally perfect
+    # while the whole reconstruction drifted). 0.3 measured best on the
+    # corner + textured-wall unit scenes: depth rows (exact geometry)
+    # keep driving the observable subspace while photometric rows
+    # constrain the in-plane null space; >= 1.0 lets photometric
+    # linearization error (valid ~1-2 px) dominate and stall convergence
+    # (corner: 0.01 mm at 0.3 vs 17 mm at 1.0).
+    phot_weight: float = 0.3
 
 
 def _exp_quat(omega: jnp.ndarray) -> jnp.ndarray:
@@ -148,25 +163,55 @@ def gn_solve(JtJ: jnp.ndarray, Jtr: jnp.ndarray,
     return -s * (V @ (inv * b))
 
 
+def _image_grads(im: jnp.ndarray):
+    """Central-difference pixel gradients of im [C, H, W] ->
+    (gu, gv [C, H, W], ok [H, W] interior mask)."""
+    gu = jnp.zeros_like(im)
+    gu = gu.at[:, :, 1:-1].set(0.5 * (im[:, :, 2:] - im[:, :, :-2]))
+    gv = jnp.zeros_like(im)
+    gv = gv.at[:, 1:-1, :].set(0.5 * (im[:, 2:, :] - im[:, :-2, :]))
+    H, W = im.shape[1:]
+    ok = jnp.zeros((H, W), bool).at[1:-1, 1:-1].set(True)
+    return gu, gv, ok
+
+
 def gn_depth_polish(raw: jnp.ndarray, counts: jnp.ndarray,
                     quat: jnp.ndarray, trans: jnp.ndarray,
                     gt_depth: jnp.ndarray, cam: Camera,
-                    rcfg: RasterConfig, gcfg: GNConfig):
-    """Damped point-to-plane GN refinement of (quat, trans) against the
-    frozen slot-table map render. gt_depth [1, H, W]. Returns
+                    rcfg: RasterConfig, gcfg: GNConfig,
+                    gt_im: jnp.ndarray | None = None):
+    """Damped GN refinement of (quat, trans) against the frozen
+    slot-table map render. gt_depth [1, H, W]. Returns
     (quat, trans, cost0, cost1): the polished pose plus the point-to-plane
     RMS before/after — the caller accepts the polish only when cost1 <
     cost0 (the photometric loss cannot arbitrate here: its minimum IS the
-    few-mm trough bias this step corrects)."""
+    few-mm trough bias this step corrects).
+
+    gt_im [3, H, W] (with gcfg.phot_weight > 0) adds the photometric
+    block — the combined colored-ICP/direct-method system. Both blocks
+    share the row structure (J = (Y x n_eff, n_eff)): for point-to-plane
+    n_eff is the surface normal with residual n.(Y - X); for a
+    photometric channel, linearizing I_gt(pi(Exp(delta) Y)) - c_model
+    gives n_eff = q = grad(I_gt) . J_pi(Y) with residual
+    I_gt(u) - c_model(u). The blocks are robustly normalized (median
+    absolute residual) so phot_weight is a dimensionless mix. Depth-only
+    p2p is rank ~3 on planar scenes and drifts (see GNConfig.phot_weight);
+    the photometric rows carry exactly the missing in-plane information
+    wherever the measured image has texture."""
     from ..ops.rasterize import render_rgbd_sil_slots
 
     gt_d = jax.lax.stop_gradient(gt_depth[0])
     meas_valid = (gt_d > 0) & jnp.isfinite(gt_d)
     X = backproject_grid(gt_d, cam)                     # sensor frame: fixed
 
+    use_phot = gt_im is not None and gcfg.phot_weight > 0.0
+    if use_phot:
+        gt_p = jax.lax.stop_gradient(gt_im[:3])         # [3, H, W]
+        gu, gv, g_ok = _image_grads(gt_p)
+
     def linearize(q, t):
         """One render -> (JtJ [6,6], Jtr [6], p2p RMS, ok count)."""
-        _, depth, sil, _, _ = render_rgbd_sil_slots(
+        im, depth, sil, _, _ = render_rgbd_sil_slots(
             raw, counts, q, t, cam, rcfg)
         sil = jax.lax.stop_gradient(sil)
         # The composited depth channel is sum(w_i z_i) with sum(w_i) =
@@ -201,12 +246,49 @@ def gn_depth_polish(raw: jnp.ndarray, counts: jnp.ndarray,
         J = jnp.concatenate([jnp.cross(Y, n), n], axis=-1)  # [H, W, 6]
         Jf = (J * w[..., None]).reshape(-1, 6)
         rf = (r * w).reshape(-1)
-        return Jf.T @ Jf, Jf.T @ rf, cost, cnt
+        JtJ_d = Jf.T @ Jf
+        Jtr_d = Jf.T @ rf
+        if not use_phot:
+            return JtJ_d, Jtr_d, cost, jnp.asarray(0.0), cnt
+
+        # --- photometric block (colored ICP). The rendered color shares
+        # the depth channel's silhouette scaling (sum w_i c_i with
+        # sum w_i = sil), so normalize to E[c | hit] like d_model.
+        c_model = im / jnp.maximum(sil, 1e-6)[None]          # [3, H, W]
+        r_p = gt_p - c_model
+        Z = jnp.maximum(Y[..., 2], 1e-6)
+        zeros = jnp.zeros_like(Z)
+        jpi0 = jnp.stack([cam.fx / Z, zeros,
+                          -cam.fx * Y[..., 0] / (Z * Z)], axis=-1)
+        jpi1 = jnp.stack([zeros, cam.fy / Z,
+                          -cam.fy * Y[..., 1] / (Z * Z)], axis=-1)
+        # n_eff per channel: q = gu * dpi_u/dY + gv * dpi_v/dY  [3, H, W, 3]
+        qv = (gu[..., None] * jpi0[None] + gv[..., None] * jpi1[None])
+        ok_p = (model_valid & g_ok & meas_valid)[None] & jnp.isfinite(r_p)
+        med_p = _masked_median(jnp.abs(r_p), ok_p)
+        ok_p = ok_p & (jnp.abs(r_p)
+                       < gcfg.reject_factor * jnp.maximum(med_p, 1e-6))
+        Jp = jnp.concatenate([jnp.cross(Y[None], qv), qv],
+                             axis=-1)                        # [3, H, W, 6]
+        wp_row = ok_p.astype(jnp.float32)
+        Jpf = (Jp * wp_row[..., None]).reshape(-1, 6)
+        rpf = (r_p * wp_row).reshape(-1)
+        # robust per-block normalization -> phot_weight mixes
+        # dimensionless blocks (meters vs intensity)
+        wd2 = 1.0 / jnp.maximum(med, 1e-4) ** 2
+        wp2 = (gcfg.phot_weight / jnp.maximum(med_p, 1e-3)) ** 2
+        JtJ = wd2 * JtJ_d + wp2 * (Jpf.T @ Jpf)
+        Jtr = wd2 * Jtr_d + wp2 * (Jpf.T @ rpf)
+        cnt_p = jnp.sum(wp_row)
+        cost_p = jnp.sqrt(jnp.sum(jnp.where(ok_p, r_p * r_p, 0.0))
+                          / jnp.maximum(cnt_p, 1.0))
+        return JtJ, Jtr, cost, cost_p, cnt
 
     def body(i, carry):
-        q, t, cost0 = carry
-        JtJ, Jtr, cost, cnt = linearize(q, t)
-        cost0 = jnp.where(i == 0, cost, cost0)
+        q, t, cost_d0, cost_p0 = carry
+        JtJ, Jtr, cost_d, cost_p, cnt = linearize(q, t)
+        cost_d0 = jnp.where(i == 0, cost_d, cost_d0)
+        cost_p0 = jnp.where(i == 0, cost_p, cost_p0)
         delta = gn_solve(JtJ, Jtr, gcfg)
         # a catastrophic solve (rank-deficient ok-set) must not fling the
         # pose: cap the update at 5 cm / ~3 deg per iteration
@@ -216,10 +298,26 @@ def gn_depth_polish(raw: jnp.ndarray, counts: jnp.ndarray,
         q2, t2 = apply_increment(q, t, delta)
         # with no usable constraints keep the pose
         enough = cnt > 64.0
-        return (jnp.where(enough, q2, q), jnp.where(enough, t2, t), cost0)
+        return (jnp.where(enough, q2, q), jnp.where(enough, t2, t),
+                cost_d0, cost_p0)
 
-    q1, t1, cost0 = jax.lax.fori_loop(
-        0, gcfg.iters, body, (quat, trans, jnp.asarray(jnp.inf)))
-    _, _, cost1, cnt1 = linearize(q1, t1)
+    q1, t1, cost_d0, cost_p0 = jax.lax.fori_loop(
+        0, gcfg.iters, body,
+        (quat, trans, jnp.asarray(jnp.inf), jnp.asarray(jnp.inf)))
+    _, _, cost_d1, cost_p1, cnt1 = linearize(q1, t1)
+    if use_phot:
+        # acceptance cost = the combined objective the solve minimizes,
+        # normalized by the INITIAL per-block RMS so the before/after
+        # comparison has fixed scales: cost0 = 1, cost1 < 1 iff the
+        # weighted relative residual decreased. (Comparing p2p RMS alone
+        # would reject mixed steps that trade a little depth alignment
+        # for a photometric gain — the whole point of the combined solve.)
+        pw2 = gcfg.phot_weight ** 2
+        rel_d = cost_d1 / jnp.maximum(cost_d0, 1e-12)
+        rel_p = cost_p1 / jnp.maximum(cost_p0, 1e-12)
+        cost0 = jnp.asarray(1.0)
+        cost1 = jnp.sqrt((rel_d ** 2 + pw2 * rel_p ** 2) / (1.0 + pw2))
+    else:
+        cost0, cost1 = cost_d0, cost_d1
     cost1 = jnp.where(cnt1 > 64.0, cost1, jnp.inf)
     return q1, t1, cost0, cost1

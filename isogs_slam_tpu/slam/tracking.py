@@ -81,6 +81,11 @@ class TrackingConfig(NamedTuple):
     # plane RMS decreased. One forward render per step, no backward.
     gn_iters: int = 0
     gn_damping: float = 1e-3
+    # Photometric block weight in the GN solve (icp.GNConfig.phot_weight):
+    # the combined colored-ICP system. 0 = depth-only p2p — measured
+    # structurally drift-prone on low-texture scenes (NOTES.md session 7:
+    # ATE 13.2 cm with perfect local depth alignment); keep > 0.
+    gn_phot_weight: float = 0.3
     # Photometric guard on the GN polish: accept only if the mask-
     # normalized tracking loss does not degrade by more than this factor.
     # The polish targets mm-scale trough corrections, which sit on the
@@ -395,9 +400,11 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         # NOTE: GN keeps its own 0.9 confidence gate regardless of the
         # (possibly much looser) tracking-loss sil_thres — low-sil pixels
         # have the least reliable normalized depth (see icp.linearize).
-        gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping)
+        gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping,
+                        phot_weight=tcfg.gn_phot_weight)
         pq, pt, c0, c1 = gn_depth_polish(gn_raw, gn_counts, best_q, best_t,
-                                         gt_depth, cam, rcfg, gcfg)
+                                         gt_depth, cam, rcfg, gcfg,
+                                         gt_im=gt_im)
 
         if tcfg.rebin_every_iter:
             from .losses import compute_loss_slots

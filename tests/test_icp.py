@@ -265,6 +265,66 @@ def test_gn_polish_flat_wall_noise_does_not_slide():
     assert tr < 0.004, tr
 
 
+def _wall_scene(rng_seed=5, opacity_logit=4.0):
+    rng = np.random.default_rng(rng_seed)
+    xs = np.arange(-1.7, 1.7, 0.08)
+    ys = np.arange(-1.4, 1.4, 0.08)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(),
+                    np.full(gx.size, 2.6)], axis=1).astype(np.float32)
+    n = pts.shape[0]
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    params = GaussianParams(
+        means3d=jnp.asarray(pts),
+        rgb_colors=jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)), jnp.float32),
+        unnorm_rotations=jnp.asarray(quats),
+        logit_opacities=jnp.full((n, 1), opacity_logit, jnp.float32),
+        log_scales=jnp.full((n, 3), np.log(0.09), jnp.float32))
+    alive = jnp.ones(n, bool)
+    K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]])
+    cam = Camera.from_intrinsics(K, W, H)
+    return cam, params, alive
+
+
+def test_gn_combined_photometric_recovers_inplane_offset():
+    """Single textured wall + in-plane translation offset: point-to-plane
+    rows carry NO in-plane information (the eigencut correctly refuses to
+    move there), so depth-only GN must leave the in-plane error; the
+    combined photometric block (colored ICP) observes the wall texture
+    and must recover it."""
+    cam, params, alive = _wall_scene()
+    rcfg = RasterConfig(backend="xla", isect_per_gaussian=24.0)
+    q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.asarray([0.0, 0.0, 0.0])
+    raw_gt, counts_gt = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
+    im_r, depth_r, sil, _, _ = render_rgbd_sil_slots(
+        raw_gt, counts_gt, q_gt, t_gt, cam, rcfg)
+    s = jnp.maximum(sil, 1e-6)
+    gt_im = im_r / s[None]                 # sensor-style (unscaled) color
+    gt_depth = (depth_r / s[None]) * (sil > 0.5)
+
+    # mostly-in-plane offset: ~3.2 cm in the wall plane + 5 mm in depth
+    t0 = t_gt + jnp.asarray([0.03, -0.012, 0.005])
+    q0 = q_gt
+    _, tr0 = _pose_err(q0, t0, q_gt, t_gt)
+
+    raw, counts = _slot_table(cam, params, alive, q0, t0, rcfg)
+    depth_only = GNConfig(iters=8, damping=1e-3, phot_weight=0.0)
+    q1, t1, _, _ = gn_depth_polish(raw, counts, q0, t0, gt_depth,
+                                   cam, rcfg, depth_only, gt_im=gt_im)
+    _, tr_d = _pose_err(np.asarray(q1), np.asarray(t1), q_gt, t_gt)
+    # depth-only cannot see the in-plane component: most of the error stays
+    assert tr_d > 0.015, tr_d
+
+    combined = GNConfig(iters=8, damping=1e-3)   # default phot_weight
+    q2, t2, c0, c1 = gn_depth_polish(raw, counts, q0, t0, gt_depth,
+                                     cam, rcfg, combined, gt_im=gt_im)
+    _, tr_c = _pose_err(np.asarray(q2), np.asarray(t2), q_gt, t_gt)
+    assert tr_c < tr0 / 5, (tr0, tr_c)
+    assert tr_c < 0.006, tr_c
+
+
 def test_track_frame_gn_beats_adam_floor():
     from isogs_slam_tpu.slam.losses import LossConfig
     from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
@@ -274,9 +334,16 @@ def test_track_frame_gn_beats_adam_floor():
     q_gt = jnp.asarray([1.0, 0.0, 0.0, 0.0])
     t_gt = jnp.asarray([0.0, 0.0, 0.0])
     raw_gt, counts_gt = _slot_table(cam, params, alive, q_gt, t_gt, rcfg)
-    im_gt, depth_gt, sil, _, _ = render_rgbd_sil_slots(
+    im_r, depth_gt, sil, _, _ = render_rgbd_sil_slots(
         raw_gt, counts_gt, q_gt, t_gt, cam, rcfg)
-    gt_depth = depth_gt * (sil > 0.5)
+    # sensor-style gt: the raw composited channels are silhouette-scaled
+    # (sum w_i = sil < 1); a real sensor sees the surface itself. The
+    # combined GN compares against sil-normalized model channels, so a
+    # raw-channel gt would carry a (1 - sil) bias into the photometric
+    # residuals.
+    s = jnp.maximum(sil, 1e-6)
+    im_gt = im_r / s[None]
+    gt_depth = (depth_gt / s[None]) * (sil > 0.5)
 
     dq = jnp.asarray([1.0, 0.004, -0.006, 0.005])
     q0 = quat_mult(dq / jnp.linalg.norm(dq), q_gt)
