@@ -380,7 +380,9 @@ def _fwd_kernel_batch(counts_ref, gdata_ref, out_ref, tsum_ref,
                 preferred_element_type=jnp.float32)   # [TPB, P, Fo]
             tsum_ref[:] += jnp.sum(w, axis=1, keepdims=True)
             carry_ref[:] += jnp.sum(l, axis=1, keepdims=True)
-            carr_out_ref[:, c, :] = carry_ref[:, 0, :]
+            # rank-preserving write: int-indexed (rank-dropping) stores on
+            # [TPB, 1, P] crash Mosaic's vector layout pass inside scf.if
+            carr_out_ref[:, c:c + 1, :] = carry_ref[:]
 
 
 def _bwd_kernel_batch(counts_ref, gdata_ref, gout_ref, gt_ref, carr_ref,

@@ -66,6 +66,15 @@ class GNConfig(NamedTuple):
     # linearization error (valid ~1-2 px) dominate and stall convergence
     # (corner: 0.01 mm at 0.3 vs 17 mm at 1.0).
     phot_weight: float = 0.3
+    # Per-iteration trust region on the pose increment (meters / rad).
+    # The polish's legitimate job is the few-mm trough bias Adam cannot
+    # anneal; at full-res scale the map's own reconstruction error
+    # dominates the residuals, and a loose cap lets GN absorb map error
+    # into the pose every frame (self-consistent gauge drift: measured
+    # ATE 13-26 cm with PERFECT local depth alignment, vs 1.22 Adam-only,
+    # NOTES.md session 7). A millimeter-scale cap bounds the per-frame
+    # damage to the trough-bias scale the step is meant to fix.
+    max_step: float = 0.05
 
 
 def _exp_quat(omega: jnp.ndarray) -> jnp.ndarray:
@@ -290,11 +299,13 @@ def gn_depth_polish(raw: jnp.ndarray, counts: jnp.ndarray,
         cost_d0 = jnp.where(i == 0, cost_d, cost_d0)
         cost_p0 = jnp.where(i == 0, cost_p, cost_p0)
         delta = gn_solve(JtJ, Jtr, gcfg)
-        # a catastrophic solve (rank-deficient ok-set) must not fling the
-        # pose: cap the update at 5 cm / ~3 deg per iteration
+        # trust region: a catastrophic solve (rank-deficient ok-set) must
+        # not fling the pose, and at map scale the cap bounds per-frame
+        # map-error absorption (see GNConfig.max_step)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         dmax = jnp.max(jnp.abs(delta))
-        delta = delta * jnp.minimum(1.0, 0.05 / jnp.maximum(dmax, 1e-12))
+        delta = delta * jnp.minimum(
+            1.0, gcfg.max_step / jnp.maximum(dmax, 1e-12))
         q2, t2 = apply_increment(q, t, delta)
         # with no usable constraints keep the pose
         enough = cnt > 64.0

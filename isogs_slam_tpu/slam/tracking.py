@@ -86,6 +86,8 @@ class TrackingConfig(NamedTuple):
     # structurally drift-prone on low-texture scenes (NOTES.md session 7:
     # ATE 13.2 cm with perfect local depth alignment); keep > 0.
     gn_phot_weight: float = 0.3
+    # trust region per GN iteration (icp.GNConfig.max_step)
+    gn_max_step: float = 0.05
     # Photometric guard on the GN polish: accept only if the mask-
     # normalized tracking loss does not degrade by more than this factor.
     # The polish targets mm-scale trough corrections, which sit on the
@@ -401,7 +403,8 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
         # (possibly much looser) tracking-loss sil_thres — low-sil pixels
         # have the least reliable normalized depth (see icp.linearize).
         gcfg = GNConfig(iters=tcfg.gn_iters, damping=tcfg.gn_damping,
-                        phot_weight=tcfg.gn_phot_weight)
+                        phot_weight=tcfg.gn_phot_weight,
+                        max_step=tcfg.gn_max_step)
         pq, pt, c0, c1 = gn_depth_polish(gn_raw, gn_counts, best_q, best_t,
                                          gt_depth, cam, rcfg, gcfg,
                                          gt_im=gt_im)

@@ -178,7 +178,10 @@ def main():
             tracking=True, use_sil_for_loss=True, sil_thres=0.99,
             use_l1=True, ignore_outlier_depth_loss=False, w_im=0.5,
             w_depth=1.0, w_flat=0.0, w_iso=0.0, calc_iso=False)
-        tcfg = TrackingConfig(num_iters=10, lr_quat=0.0004, lr_trans=0.002)
+        # --tile-sub applies to the tracking subset path here (the
+        # bench's BENCH_TRACK_TILE_SUBSAMPLE analog)
+        tcfg = TrackingConfig(num_iters=10, lr_quat=0.0004, lr_trans=0.002,
+                              tile_subsample=args.tile_sub)
         im, d, q, t = frame(1)
 
         def run():
