@@ -21,7 +21,10 @@ config = dict(
     map_every=5,
     keyframe_every=5,
     mapping_window_size=24,
-    report_global_progress_every=500,
+    # every 5: the [progress] ATE-so-far line is the drift-shape signal
+    # (rising = gauge drift / map-error absorption, flat = tracker noise)
+    # — one cheap render per report
+    report_global_progress_every=5,
     eval_every=5,
     scene_radius_depth_ratio=3,
     mean_sq_dist_method="projective",
