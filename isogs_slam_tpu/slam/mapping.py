@@ -82,6 +82,13 @@ class MappingConfig(NamedTuple):
     # (gather, Pallas fwd/bwd, backward scatter) shrinks by the factor.
     # See losses.compute_loss_subsampled for the estimator notes.
     tile_subsample: int = 1
+    # tile selection: True = epoch-style cycling (disjoint chunks of a
+    # per-cycle permutation — every tile rendered exactly once per
+    # `tile_subsample` iterations, i.e. without-replacement SGD); False =
+    # iid subsets (MEASURED WORSE: Poisson coverage leaves tiles with few
+    # visits per phase and the map underfits — ATE 11.3 vs 1.22 cm exact
+    # at sub4+40 iters, NOTES.md session 7 blame split).
+    tile_cycle: bool = True
 
     def lrs(self) -> GaussianParams:
         f = jnp.float32
@@ -90,6 +97,22 @@ class MappingConfig(NamedTuple):
             unnorm_rotations=f(self.lr_unnorm_rotations),
             logit_opacities=f(self.lr_logit_opacities),
             log_scales=f(self.lr_log_scales))
+
+
+def select_tile_chunk(perm_base, it, sub: int, n_tiles: int, t_sub: int):
+    """Epoch-cycled tile subset for the fast-mapping mode.
+
+    Chunk `it % sub` of a permutation reshuffled every `sub` iterations:
+    every tile is rendered exactly once per cycle (without-replacement
+    SGD), vs iid subsets whose Poisson coverage leaves some tiles nearly
+    unvisited within a phase. When sub does not divide n_tiles the last
+    chunk is shifted to stay in range (a few tiles visited twice per
+    cycle; none missed)."""
+    cycle = it // sub
+    perm = jax.random.permutation(jax.random.fold_in(perm_base, cycle),
+                                  n_tiles)
+    start = jnp.minimum((it % sub) * t_sub, n_tiles - t_sub)
+    return jax.lax.dynamic_slice(perm, (start,), (t_sub,))
 
 
 def _prune_mask(params: GaussianParams, alive, scene_radius, it,
@@ -239,10 +262,16 @@ def map_frame(state: MapState,
         interior_full = valid_px_full.all(axis=1).astype(jnp.float32)
         n_tiles = cam.num_tiles
         t_sub = -(-n_tiles // mcfg.tile_subsample)
+        perm_base = jax.random.fold_in(keys[0], 0x71C)
 
-        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning):
+        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
+                    it):
             key_sel, key_iso = jax.random.split(jax.random.fold_in(key, 7))
-            sel = jax.random.permutation(key_sel, n_tiles)[:t_sub]
+            if mcfg.tile_cycle:
+                sel = select_tile_chunk(perm_base, it, mcfg.tile_subsample,
+                                        n_tiles, t_sub)
+            else:
+                sel = jax.random.permutation(key_sel, n_tiles)[:t_sub]
             gt_tiles = gt_tiles_all[slot][sel]
             out = compute_loss_subsampled(
                 params, alive, quat, trans, gt_tiles, valid_px_full[sel],
@@ -251,7 +280,9 @@ def map_frame(state: MapState,
                 iso_pool=iso_pool)
             return out.loss, out
     else:
-        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning):
+        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
+                    it):
+            del it
             gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
                      ).transpose(2, 0, 1)
             gt_depth = kf_depths[slot][None]
@@ -275,7 +306,7 @@ def map_frame(state: MapState,
         m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
                if mcfg.use_densification else None)
         (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive, quat,
-                                          trans, slot, key, binning)
+                                          trans, slot, key, binning, it)
         grads = grad_tuple[0]
         if mcfg.use_densification:
             from .densify import accumulate_mean2d_gradient, densify_step

@@ -167,7 +167,8 @@ def _mapping_cfg(config) -> MappingConfig:
         lr_logit_opacities=lrs["logit_opacities"],
         lr_log_scales=lrs["log_scales"], prune=prune,
         use_densification=use_dens, densify=dens,
-        tile_subsample=int(m.get("tile_subsample", 1)))
+        tile_subsample=int(m.get("tile_subsample", 1)),
+        tile_cycle=bool(m.get("tile_cycle", True)))
 
 
 def _tracking_cfg(config) -> TrackingConfig:

@@ -201,3 +201,29 @@ def test_map_frame_with_subsample_reduces_loss():
     # params actually moved
     assert float(np.abs(np.asarray(st.params.rgb_colors[:n])
                         - rgb0).max()) > 0
+
+
+@pytest.mark.smoke
+def test_tile_cycle_covers_all_tiles_each_cycle():
+    """Epoch-cycled selection (mapping.tile_cycle): within every cycle of
+    `sub` iterations the union of selected chunks is ALL tiles, and the
+    permutation reshuffles between cycles."""
+    from isogs_slam_tpu.slam.mapping import select_tile_chunk
+    key = jax.random.PRNGKey(11)
+    for n_tiles, sub in [(48, 4), (50, 4), (7, 3)]:
+        t_sub = -(-n_tiles // sub)
+        per_cycle = []
+        for cycle in range(2):
+            seen = set()
+            order = []
+            for j in range(sub):
+                it = jnp.asarray(cycle * sub + j, jnp.int32)
+                sel = np.asarray(select_tile_chunk(key, it, sub, n_tiles,
+                                                   t_sub))
+                assert sel.shape == (t_sub,)
+                assert sel.min() >= 0 and sel.max() < n_tiles
+                seen |= set(sel.tolist())
+                order.extend(sel.tolist())
+            assert seen == set(range(n_tiles)), (n_tiles, sub)
+            per_cycle.append(order)
+        assert per_cycle[0] != per_cycle[1]   # reshuffled across cycles
