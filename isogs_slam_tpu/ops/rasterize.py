@@ -107,9 +107,20 @@ class RasterConfig(NamedTuple):
     # cull_slack_px inflates the extent, cull_logit_drift bounds opacity
     # growth, cull_q_slack multiplies qmax for conic drift.
     tight_rect: bool = False
+    # static intersection-buffer capacity override (rows). 0 = use the
+    # N * isect_per_gaussian heuristic. The SLAM pipeline sets this from
+    # observed per-binning n_isect (raster.adaptive_isect_cap) and grows
+    # it geometrically — a new value re-jits, like capacity growth.
+    max_isect_cap: int = 0
 
     def max_isect(self, num_gaussians: int) -> int:
-        m = int(num_gaussians * self.isect_per_gaussian)
+        # a positive max_isect_cap overrides the N-proportional heuristic
+        # (SLAM pipeline: cap driven by the MEASURED peak n_isect — the
+        # heuristic over-provisions ~4x once the row capacity outgrows
+        # the alive count, and the binning sort/expansion pay for
+        # capacity, not demand)
+        m = (self.max_isect_cap if self.max_isect_cap > 0
+             else int(num_gaussians * self.isect_per_gaussian))
         # keep sort sizes friendly: round up to a multiple of 1024
         return max(1024, (m + 1023) // 1024 * 1024)
 

@@ -284,6 +284,13 @@ class SLAM:
         self.rcfg_track = self.rcfg._replace(
             max_per_tile=r.get("max_per_tile_tracking",
                                min(256, r["max_per_tile"])))
+        # demand-driven intersection-buffer capacity (RasterConfig.
+        # max_isect_cap): the N-proportional heuristic over-provisions
+        # ~4x once row capacity outgrows the alive count, and the binning
+        # sort + expansion pay for capacity, not demand. Seeded from the
+        # first frame's row count, grown geometrically from observed
+        # per-binning n_isect (mapping bin_stats + the tracking binning).
+        self._adaptive_isect = bool(r.get("adaptive_isect_cap", True))
         self.lcfg_track = _loss_cfg_tracking(cfg)
         self.lcfg_map = _loss_cfg_mapping(cfg)
         self.tcfg = _tracking_cfg(cfg)
@@ -405,6 +412,41 @@ class SLAM:
                   f"(hwm {used}, recompiling jitted programs)")
             self.state = G.grow_capacity(self.state, new_cap)
 
+    def _set_isect_cap(self, rows: int):
+        """Round `rows` up to a coarse granule and re-point both raster
+        configs at it (a changed static config re-jits, like capacity
+        growth)."""
+        g = 1 << 18
+        cap = max(g, (rows + g - 1) // g * g)
+        if cap == self.rcfg.max_isect_cap:
+            return
+        old = self.rcfg.max_isect_cap
+        if old:
+            print(f"[isect-cap] {old} -> {cap} (recompiling)")
+        self.rcfg = self.rcfg._replace(max_isect_cap=cap)
+        self.rcfg_track = self.rcfg_track._replace(max_isect_cap=cap)
+        if self._mv_phase is not None:
+            from ..parallel.sharded import make_multiview_map_phase
+            self._mv_phase = make_multiview_map_phase(
+                self._mv_mesh, self.cam, self.rcfg, self.lcfg_map,
+                self.mcfg)
+
+    def _note_isect_demand(self, observed_peak: int):
+        """Grow the isect cap when a binning's true demand (n_isect is
+        computed pre-clamp) approaches capacity. 0.75 trigger + 1.5x
+        growth keeps >= 33% headroom for frame-to-frame demand drift."""
+        if not self._adaptive_isect:
+            return
+        cap = self.rcfg.max_isect_cap
+        if cap and observed_peak > 0.75 * cap:
+            self._set_isect_cap(max(int(observed_peak * 1.5),
+                                    cap + (1 << 18)))
+
+    def _init_isect_cap(self):
+        if self._adaptive_isect and self.rcfg.max_isect_cap == 0:
+            self._set_isect_cap(
+                int(int(self.state.hwm) * self.rcfg.isect_per_gaussian))
+
     # --------------------------------------------------------------- init
     def initialize_first_frame(self, color, depth):
         im, d = _to_chw_frame(color, depth)
@@ -414,6 +456,7 @@ class SLAM:
             im, d, self.densify_cam, capacity, self._next_key(),
             self.config["scene_radius_depth_ratio"],
             gaussian_distribution=self.config["gaussian_distribution"])
+        self._init_isect_cap()
 
     # ------------------------------------------------------------ resume
     def try_resume(self) -> int:
@@ -472,6 +515,7 @@ class SLAM:
                 self.kf.add_keyframe(t, im, d, q, tr, self._est_w2c(t))
                 self.keyframe_time_indices.append(t)
         self._resumed_at = frame
+        self._init_isect_cap()
         return frame
 
     # ----------------------------------------------------------- tracking
@@ -504,6 +548,11 @@ class SLAM:
                       self.lcfg_track, self.tcfg, binning=binning)
         self.cam_rots[:, time_idx] = np.asarray(res.quat)
         self.cam_trans[:, time_idx] = np.asarray(res.trans)
+        if binning is not None:
+            # grow AFTER the frame so the just-used binning and the rcfg
+            # it was built with stay consistent; a one-frame truncation
+            # is possible on a >33% demand jump, then capacity catches up
+            self._note_isect_demand(int(binning.n_isect))
         if res.gn_accepted is not None and self.tcfg.gn_iters > 0:
             self.stats["gn_accepted"].append(int(res.gn_accepted))
         return res
@@ -580,7 +629,10 @@ class SLAM:
         last (dropping them is by design) but dropped TRUE candidates are
         a real deviation — warn, and optionally escalate the cap
         (config raster.adaptive_max_per_tile)."""
-        dropped, total = (int(x) for x in np.asarray(bin_stats)[:2])
+        stats = np.asarray(bin_stats)
+        dropped, total = int(stats[0]), int(stats[1])
+        if stats.shape[0] > 2:
+            self._note_isect_demand(int(stats[2]))
         frac = dropped / max(total, 1)
         if frac <= 0.005:
             return
