@@ -148,8 +148,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    peak_isect = 0
+
     def run_frame(i, state, timing):
-        nonlocal key, kf_colors, kf_depths, kf_quats, kf_trans
+        nonlocal key, kf_colors, kf_depths, kf_quats, kf_trans, peak_isect
         log(f"frame {i}: dataset render")
         im, d, q_gt, t_gt = frame(i)
         jax.block_until_ready((im, d))
@@ -164,6 +166,8 @@ def main():
                           im, d, cam, rcfg_track, lcfg_track, tcfg,
                           binning=binning)
         jax.block_until_ready(res.quat)
+        if binning is not None and timing is None:
+            peak_isect = max(peak_isect, int(binning.n_isect))
         t_track = time.perf_counter()
 
         if (i + 1) % map_every == 0:
@@ -196,6 +200,8 @@ def main():
                     timing.get("isect", 0.0),
                     float(bstats[2])
                     / rcfg.max_isect(state.params.means3d.shape[0]))
+            else:
+                peak_isect = max(peak_isect, int(bstats[2]))
             if track_bins is not None:
                 track_bins.invalidate()
         t_map = time.perf_counter()
@@ -207,6 +213,23 @@ def main():
     # warmup (compiles tracking, densify, mapping programs; the second
     # frame-1 call exercises the binning-reuse drift check)
     state = run_frame(map_every - 1, state, None)
+    if int(os.environ.get("BENCH_ADAPTIVE_ISECT", 1)):
+        # demand-driven isect capacity (raster.adaptive_isect_cap analog):
+        # size the binning sort/expansion from the first warmup frame's
+        # MEASURED peak n_isect + 50% headroom for densification growth,
+        # instead of the ~2-4x over-provisioned N-proportional heuristic.
+        # Set before the remaining warmups so the timed programs compile
+        # once, with the final capacity.
+        g = 1 << 18
+        cap = (int(peak_isect * 1.5) + g - 1) // g * g
+        log(f"isect cap {rcfg.max_isect(capacity)} -> {cap} "
+            f"(observed {peak_isect})")
+        rcfg = rcfg._replace(max_isect_cap=cap)
+        rcfg_track = rcfg_track._replace(max_isect_cap=cap)
+        if track_bins is not None:
+            track_bins = BinningReuse(cam, rcfg_track,
+                                      margin_px=tcfg.cross_frame_margin_px,
+                                      slack_px=tcfg.bin_margin_px)
     state = run_frame(1, state, None)
     state = run_frame(1, state, None)
     jax.block_until_ready(state.params.means3d)
