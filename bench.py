@@ -104,7 +104,8 @@ def main():
         lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
         lr_log_scales=0.001,
         prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500),
-        tile_subsample=tile_sub)
+        tile_subsample=tile_sub,
+        vmap_bins=bool(int(os.environ.get("BENCH_VMAP_BINS", 0))))
 
     key = jax.random.PRNGKey(0)
 

@@ -89,6 +89,12 @@ class MappingConfig(NamedTuple):
     # visits per phase and the map underfits — ATE 11.3 vs 1.22 cm exact
     # at sub4+40 iters, NOTES.md session 7 blame split).
     tile_cycle: bool = True
+    # batch the per-slot phase binnings with vmap instead of a serial
+    # lax.map: one wide sort/expansion program instead of S sequential
+    # ones (S = distinct sampled keyframe slots, 4-8). Costs S-times the
+    # transient expansion memory; with the demand-driven isect cap that
+    # is ~100-400 MB at 1M Gaussians.
+    vmap_bins: bool = False
 
     def lrs(self) -> GaussianParams:
         f = jnp.float32
@@ -214,7 +220,8 @@ def map_frame(state: MapState,
             cull_slack_px=mcfg.bin_margin_px,
             cull_logit_drift=3.2 * mcfg.lr_logit_opacities * mcfg.num_iters)
 
-    bins = jax.lax.map(bin_slot, (kf_quats, kf_transl))
+    bins = (jax.vmap(bin_slot)((kf_quats, kf_transl)) if mcfg.vmap_bins
+            else jax.lax.map(bin_slot, (kf_quats, kf_transl)))
     # true-candidate truncation observability (Binning.n_true_overflow):
     # [sum of true-footprint intersections dropped by the K cap, total]
     bin_stats = jnp.stack([jnp.sum(bins.n_true_overflow),

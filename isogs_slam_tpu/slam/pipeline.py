@@ -168,7 +168,8 @@ def _mapping_cfg(config) -> MappingConfig:
         lr_log_scales=lrs["log_scales"], prune=prune,
         use_densification=use_dens, densify=dens,
         tile_subsample=int(m.get("tile_subsample", 1)),
-        tile_cycle=bool(m.get("tile_cycle", True)))
+        tile_cycle=bool(m.get("tile_cycle", True)),
+        vmap_bins=bool(m.get("vmap_bins", False)))
 
 
 def _tracking_cfg(config) -> TrackingConfig:

@@ -22,7 +22,8 @@ import tempfile
 
 
 def build_scene(H, W, map_iters, tile_sub=1, cull=False,
-                tight_rect=False, isect_per_gaussian=2.5):
+                tight_rect=False, isect_per_gaussian=2.5,
+                isect_cap=0, vmap_bins=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +41,8 @@ def build_scene(H, W, map_iters, tile_sub=1, cull=False,
                           n_per_wall=n_wall)
     cam = ds.cam
     rcfg = RasterConfig(tile_cull=cull, tight_rect=tight_rect,
-                        isect_per_gaussian=isect_per_gaussian)
+                        isect_per_gaussian=isect_per_gaussian,
+                        max_isect_cap=isect_cap)
     lcfg = LossConfig(
         tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
@@ -51,7 +53,7 @@ def build_scene(H, W, map_iters, tile_sub=1, cull=False,
         lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
         lr_log_scales=0.001,
         prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500),
-        tile_subsample=tile_sub)
+        tile_subsample=tile_sub, vmap_bins=vmap_bins)
 
     key = jax.random.PRNGKey(0)
 
@@ -150,6 +152,12 @@ def main():
     ap.add_argument("--cull", action="store_true",
                     help="enable raster.tile_cull (zero-contribution "
                          "slot culling)")
+    ap.add_argument("--isect-cap", type=int, default=0,
+                    help="static isect capacity override in rows "
+                         "(raster.max_isect_cap; 0 = N-proportional)")
+    ap.add_argument("--vmap-bins", action="store_true",
+                    help="batch per-slot binnings with vmap "
+                         "(mapping.vmap_bins)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -163,7 +171,8 @@ def main():
 
     (state, kf_colors, kf_depths, kf_quats, kf_trans, cam, rcfg, lcfg,
      mcfg, frame) = build_scene(args.h, args.w, args.iters, args.tile_sub,
-                 args.cull, args.tight_rect, args.isect_per_gaussian)
+                 args.cull, args.tight_rect, args.isect_per_gaussian,
+                 args.isect_cap, args.vmap_bins)
     print("n_gaussians:", int(jnp.sum(state.alive)), flush=True)
 
     rng = np.random.default_rng(0)

@@ -227,3 +227,61 @@ def test_tile_cycle_covers_all_tiles_each_cycle():
             assert seen == set(range(n_tiles)), (n_tiles, sub)
             per_cycle.append(order)
         assert per_cycle[0] != per_cycle[1]   # reshuffled across cycles
+
+
+@pytest.mark.smoke
+def test_vmap_bins_matches_serial_map_frame():
+    """mapping.vmap_bins batches the per-slot binnings; the phase result
+    must be identical to the serial lax.map path."""
+    from isogs_slam_tpu.core import gaussians as G
+    from isogs_slam_tpu.slam.mapping import (MappingConfig, PruneConfig,
+                                             map_frame)
+    cam = _cam()
+    params, alive = _scene()
+    rcfg = RasterConfig(backend="xla", bwd_mode="scatter")
+    gt_im, gt_depth = _gt(cam, params, alive, rcfg)
+    n = params.means3d.shape[0]
+    cap = 1024
+    pad = cap - n
+    padp = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), params)
+
+    def mk_state():
+        # fresh copies: map_frame donates the state buffers
+        return G.MapState(
+            params=jax.tree.map(jnp.array, padp),
+            alive=jnp.concatenate([alive, jnp.zeros(pad, bool)]),
+            hwm=jnp.asarray(n, jnp.int32),
+            timestep=jnp.zeros(cap, jnp.float32),
+            max_2d_radius=jnp.zeros(cap, jnp.float32),
+            means2d_grad_accum=jnp.zeros(cap, jnp.float32),
+            denom=jnp.zeros(cap, jnp.float32),
+            scene_radius=jnp.asarray(4.0, jnp.float32))
+
+    lcfg = _lcfg(w_im=0.5)
+    base = MappingConfig(
+        num_iters=4, lr_means3d=0.0001, lr_rgb_colors=0.0025,
+        lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
+        lr_log_scales=0.001,
+        prune=PruneConfig(False, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+    kf_colors = jnp.stack([
+        (np.asarray(gt_im).transpose(1, 2, 0) * 255).astype(np.uint8),
+        (np.asarray(jnp.clip(gt_im + 0.1, 0, 1)).transpose(1, 2, 0)
+         * 255).astype(np.uint8)])
+    kf_depths = jnp.stack([np.asarray(gt_depth)[0]] * 2)
+    kf_quats = jnp.asarray([[1., 0, 0, 0], [1., 0, 0, 0]])
+    kf_trans = jnp.zeros((2, 3))
+    iter_slots = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+
+    outs = []
+    for vb in (False, True):
+        st, log, bstats = map_frame(
+            mk_state(), kf_colors, kf_depths, kf_quats, kf_trans,
+            iter_slots, keys, cam, rcfg, lcfg, base._replace(vmap_bins=vb))
+        outs.append((np.asarray(log), np.asarray(st.params.means3d),
+                     np.asarray(bstats)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
