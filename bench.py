@@ -222,7 +222,7 @@ def main():
         # Set before the remaining warmups so the timed programs compile
         # once, with the final capacity.
         g = 1 << 18
-        cap = (int(peak_isect * 1.5) + g - 1) // g * g
+        cap = (int(peak_isect * 1.25) + g - 1) // g * g
         log(f"isect cap {rcfg.max_isect(capacity)} -> {cap} "
             f"(observed {peak_isect})")
         rcfg = rcfg._replace(max_isect_cap=cap)
@@ -231,6 +231,9 @@ def main():
             track_bins = BinningReuse(cam, rcfg_track,
                                       margin_px=tcfg.cross_frame_margin_px,
                                       slack_px=tcfg.bin_margin_px)
+        # re-warm the mapping/densify programs at the final capacity —
+        # otherwise they recompile INSIDE the measured loop
+        state = run_frame(map_every - 1, state, None)
     state = run_frame(1, state, None)
     state = run_frame(1, state, None)
     jax.block_until_ready(state.params.means3d)
