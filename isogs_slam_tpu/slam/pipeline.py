@@ -426,6 +426,10 @@ class SLAM:
             print(f"[isect-cap] {old} -> {cap} (recompiling)")
         self.rcfg = self.rcfg._replace(max_isect_cap=cap)
         self.rcfg_track = self.rcfg_track._replace(max_isect_cap=cap)
+        tb = getattr(self, "_track_bins", None)
+        if tb is not None:
+            tb.rcfg = self.rcfg_track   # captured at construction
+            tb.invalidate()
         if self._mv_phase is not None:
             from ..parallel.sharded import make_multiview_map_phase
             self._mv_phase = make_multiview_map_phase(
