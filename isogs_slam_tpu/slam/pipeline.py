@@ -443,6 +443,10 @@ class SLAM:
         if not self._adaptive_isect:
             return
         cap = self.rcfg.max_isect_cap
+        if cap and observed_peak > cap:
+            print(f"[isect-cap] WARNING: demand {observed_peak} exceeded "
+                  f"capacity {cap} — intersections were truncated this "
+                  f"phase (capacity grows now)")
         if cap and observed_peak > 0.75 * cap:
             self._set_isect_cap(max(int(observed_peak * 1.5),
                                     cap + (1 << 18)))
