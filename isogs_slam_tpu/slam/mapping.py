@@ -272,11 +272,16 @@ def map_frame(state: MapState,
         perm_base = jax.random.fold_in(keys[0], 0x71C)
 
         def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
-                    it):
+                    it, visit):
             key_sel, key_iso = jax.random.split(jax.random.fold_in(key, 7))
             if mcfg.tile_cycle:
-                sel = select_tile_chunk(perm_base, it, mcfg.tile_subsample,
-                                        n_tiles, t_sub)
+                # cycle per (slot, visit): each keyframe's OWN iterations
+                # walk disjoint chunks — with a global cycle a slot seen
+                # ~iters/S times has a (1-1/sub)^visits chance a chunk
+                # never gets rendered for it within the phase
+                sel = select_tile_chunk(
+                    jax.random.fold_in(perm_base, slot), visit,
+                    mcfg.tile_subsample, n_tiles, t_sub)
             else:
                 sel = jax.random.permutation(key_sel, n_tiles)[:t_sub]
             gt_tiles = gt_tiles_all[slot][sel]
@@ -288,8 +293,8 @@ def map_frame(state: MapState,
             return out.loss, out
     else:
         def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
-                    it):
-            del it
+                    it, visit):
+            del it, visit
             gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
                      ).transpose(2, 0, 1)
             gt_depth = kf_depths[slot][None]
@@ -305,7 +310,7 @@ def map_frame(state: MapState,
 
     def body(carry, xs):
         st, opt = carry
-        slot, key, it = xs
+        slot, key, it, visit = xs
         quat = jax.lax.stop_gradient(kf_quats[slot])
         trans = jax.lax.stop_gradient(kf_transl[slot])
         binning = jax.tree.map(lambda a: a[slot], bins)
@@ -313,7 +318,8 @@ def map_frame(state: MapState,
         m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
                if mcfg.use_densification else None)
         (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive, quat,
-                                          trans, slot, key, binning, it)
+                                          trans, slot, key, binning, it,
+                                          visit)
         grads = grad_tuple[0]
         if mcfg.use_densification:
             from .densify import accumulate_mean2d_gradient, densify_step
@@ -360,8 +366,12 @@ def map_frame(state: MapState,
 
     opt0 = optim.init(state.params)
     its = jnp.arange(mcfg.num_iters, dtype=jnp.int32)
+    # per-slot visit counters: visits[i] = #{j < i : slots[j] == slots[i]}
+    # (drives the per-slot tile-chunk cycling; [num_iters]^2 is tiny)
+    eq = iter_slots[:, None] == iter_slots[None, :]
+    visits = jnp.sum(jnp.tril(eq, k=-1), axis=1).astype(jnp.int32)
     (state, _), loss_log = jax.lax.scan(
-        body, (state, opt0), (iter_slots, keys, its))
+        body, (state, opt0), (iter_slots, keys, its, visits))
     return state, loss_log, bin_stats
 
 
