@@ -36,12 +36,17 @@ quality_run() { # quality_run <name> <config> — full_res-style 30-frame run
 }
 
 if [ "$MODE" = "quality" ]; then
+    # GN ablations retired 2026-08-19: every GN variant (eigencut,
+    # combined-photometric, 2 mm trust region) drifts super-linearly on
+    # sequences (13-26 cm; gauge drift). Battery = exact + the cycling
+    # fast modes.
     A=isogs_slam_tpu/configs/synthetic/ablations
-    quality_run gn3 "$A/full_res_gn3.py" synthetic_room_fullres_gn3_0
+    quality_run full_res isogs_slam_tpu/configs/synthetic/full_res.py \
+        synthetic_room_fullres_0
     quality_run mapsub4 "$A/full_res_mapsub4.py" \
         synthetic_room_fullres_mapsub_0
-    quality_run tracksub4 "$A/full_res_tracksub4.py" \
-        synthetic_room_fullres_tracksub_0
+    quality_run mapsub2 "$A/full_res_mapsub2.py" \
+        synthetic_room_fullres_mapsub2_0
     echo "== done; results in $OUT"
     grep -H '"Final Average ATE\|"Average PSNR' \
         "$OUT"/*_eval_summary.json 2>/dev/null || true
@@ -60,6 +65,11 @@ BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
 BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_sub4_track4 900 python bench.py
+
+# 2b. vmapped per-slot phase binning A/B (mapping.vmap_bins)
+BENCH_VMAP_BINS=1 run bench_exact_vb 900 python bench.py
+BENCH_VMAP_BINS=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_sub4_track4_vb 900 python bench.py
 
 # 2c. output-preserving slot cull, alone and stacked on the fast mode
 BENCH_TILE_CULL=1 run bench_cull 900 python bench.py
