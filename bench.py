@@ -268,6 +268,27 @@ def main():
             "device": str(jax.devices()[0].platform),
         },
     }
+
+    # production fast mode (mapping sub4 epoch-cycled + tracking sub4),
+    # measured in the same process on the same evolved map and recorded
+    # in detail — the headline metric stays exact reference semantics.
+    # Quality contract (full_res, 30 frames): PSNR 19.61 vs exact 19.92,
+    # depth L1 3.43 vs 3.58, ATE 2.82 vs 1.22 cm (NOTES.md session 8).
+    if (int(os.environ.get("BENCH_ALSO_FAST", 1)) and tile_sub == 1
+            and tcfg.tile_subsample == 1 and n_frames >= map_every):
+        mcfg = mcfg._replace(tile_subsample=4)
+        tcfg = tcfg._replace(tile_subsample=4)
+        state = run_frame(map_every - 1, state, None)   # compile fast mode
+        state = run_frame(1, state, None)
+        jax.block_until_ready(state.params.means3d)
+        ft = {"track": 0.0, "map": 0.0}
+        tf0 = time.perf_counter()
+        for i in range(1, n_frames + 1):
+            state = run_frame(i, state, ft)
+        felapsed = time.perf_counter() - tf0
+        result["detail"]["fast_mode_fps"] = round(n_frames / felapsed, 4)
+        result["detail"]["fast_mode"] = "map sub4 cycle + track sub4"
+
     print(json.dumps(result))
 
 
