@@ -150,3 +150,39 @@ def test_slam_fast_modes_end_to_end(tmp_path):
     assert np.isfinite(results["Final Average ATE RMSE (cm)"])
     assert results["Final Average ATE RMSE (cm)"] < 10.0, results
     assert results["Average PSNR"] > 17.0, results
+
+
+@pytest.mark.smoke
+def test_adaptive_isect_cap_growth(tmp_path):
+    """Demand-driven isect capacity: seeded at first-frame init, grown
+    geometrically at 0.75 occupancy from mapping bin stats, and kept in
+    sync with the tracking BinningReuse's captured config."""
+    import jax.numpy as jnp
+    cfg = _tiny_config(tmp_path)
+    slam = SLAM(cfg)
+    assert slam.rcfg.max_isect_cap == 0           # unseeded before init
+    color, depth, _, _ = slam.dataset[0]
+    slam.initialize_first_frame(color, depth)
+    cap0 = slam.rcfg.max_isect_cap
+    assert cap0 > 0
+    assert slam.rcfg_track.max_isect_cap == cap0
+    # rcfg.max_isect must honor the override regardless of N
+    assert slam.rcfg.max_isect(10**9) == cap0
+
+    # below the 0.75 trigger: no growth
+    slam._check_tile_cap(jnp.asarray([0, 1000, int(cap0 * 0.5)]))
+    assert slam.rcfg.max_isect_cap == cap0
+    # above: geometric growth, BinningReuse config synced
+    slam._check_tile_cap(jnp.asarray([0, 1000, int(cap0 * 0.9)]))
+    cap1 = slam.rcfg.max_isect_cap
+    assert cap1 > cap0
+    assert slam.rcfg_track.max_isect_cap == cap1
+    if slam._track_bins is not None:
+        assert slam._track_bins.rcfg.max_isect_cap == cap1
+
+    # opt-out restores the N-proportional heuristic
+    cfg2 = _tiny_config(tmp_path)
+    cfg2["raster"]["adaptive_isect_cap"] = False
+    slam2 = SLAM(cfg2)
+    slam2.initialize_first_frame(color, depth)
+    assert slam2.rcfg.max_isect_cap == 0
