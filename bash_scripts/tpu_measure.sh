@@ -53,14 +53,20 @@ if [ "$MODE" = "quality" ]; then
     exit 0
 fi
 
-# 0. window-gather A/B — DECIDED 2026-08-18: slice-window gathers lower
-# to a serial dynamic-slice while loop on TPU (0.40-0.68 FPS vs 0.78-0.79
-# row-gather); row gathers are now the default (ops/gather.py). The wg
-# variant stays here as a one-line future-compiler re-check.
-run bench_exact 1200 python bench.py
-ISOGS_WINDOW_GATHER=1 run bench_exact_wg 1200 python bench.py
+# DECIDED A/Bs, removed from the sequence (re-check only on new toolchains):
+#   window gathers (ISOGS_WINDOW_GATHER=1): serial dynamic-slice loop,
+#     0.40-0.68 vs 0.78-0.79 FPS row-gather (2026-08-18).
+#   tile_cull / tight_rect (BENCH_TILE_CULL=1 / BENCH_TIGHT_RECT=1):
+#     1.37 vs 1.50 FPS plain sub4 — compaction cost unpaid on the
+#     isotropic post-densify bench scene (2026-08-18).
 
-# 2. fast modes (opt-in): mapping tile subset, then tracking subset too
+# 1. exact reference semantics — honest re-measure with the demand-driven
+# isect cap (re-warm at final cap landed in b92aeb7; the first attempt's
+# 0.11 FPS was a recompile-in-measured-loop artifact).
+run bench_exact 1200 python bench.py
+
+# 2. fast modes (opt-in): epoch-cycled mapping tile subset, then tracking
+# subset too
 BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
 BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
@@ -71,36 +77,22 @@ BENCH_VMAP_BINS=1 run bench_exact_vb 900 python bench.py
 BENCH_VMAP_BINS=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_sub4_track4_vb 900 python bench.py
 
-# 2c. output-preserving slot cull, alone and stacked on the fast mode
-BENCH_TILE_CULL=1 run bench_cull 900 python bench.py
-BENCH_TILE_CULL=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_cull_sub4 900 python bench.py
-
-# 2d. opacity-aware exact-ellipse binning rects (output-preserving),
-# alone and in the full stack. MEASURED 2026-08-18: at bench scale the
-# tight rects do NOT shrink isect demand (util 1.011 with or without —
-# the bench scene is isotropic high-opacity after densify), so the
-# cap-1.5 modes truncated 40% of isects (util 1.68, numbers tainted)
-# and were removed; capacity stays at the config default.
-BENCH_TIGHT_RECT=1 run bench_tight 900 python bench.py
-BENCH_TIGHT_RECT=1 BENCH_TILE_CULL=1 \
-    BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_full_stack 900 python bench.py
-
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile
     run profile_map 1200 python -m isogs_slam_tpu.tools.profile_map
     run profile_map_sub4 900 python -m isogs_slam_tpu.tools.profile_map \
         --tile-sub 4
 
-    # 4. full-res quality validation (pyramid + GN + lr_decay)
-    rm -rf experiments/Synthetic/synthetic_room_fullres_0
-    run full_res 3500 python -m isogs_slam_tpu.scripts.splatam \
-        isogs_slam_tpu/configs/synthetic/full_res.py --end-at 30
-    cp experiments/Synthetic/synthetic_room_fullres_0/eval/eval_summary.json \
-       "$OUT/full_res_eval_summary.json" 2>/dev/null || true
-    cp experiments/Synthetic/synthetic_room_fullres_0/runtime_stats.json \
-       "$OUT/full_res_runtime_stats.json" 2>/dev/null || true
+    # 4. quality battery: exact full_res + the cycling fast modes
+    # (mapsub2 is the session-8 discriminator for the residual 2.8-vs-1.2
+    # ATE gap: flat across variance levels => systematic, not variance)
+    A=isogs_slam_tpu/configs/synthetic/ablations
+    quality_run full_res isogs_slam_tpu/configs/synthetic/full_res.py \
+        synthetic_room_fullres_0
+    quality_run mapsub2 "$A/full_res_mapsub2.py" \
+        synthetic_room_fullres_mapsub2_0
+    quality_run mapsub4 "$A/full_res_mapsub4.py" \
+        synthetic_room_fullres_mapsub_0
 fi
 
 echo "== done; results in $OUT"

@@ -89,6 +89,12 @@ class MappingConfig(NamedTuple):
     # visits per phase and the map underfits — ATE 11.3 vs 1.22 cm exact
     # at sub4+40 iters, NOTES.md session 7 blame split).
     tile_cycle: bool = True
+    # ablation knob: route through the subset loss path even at
+    # tile_subsample=1 (all tiles selected, zero sampling variance).
+    # Isolates the estimator swap — per-tile valid-window SSIM vs the
+    # reference's SAME-padded full-image filter — from subsampling noise
+    # when chasing fast-mode quality gaps.
+    force_subset: bool = False
     # batch the per-slot phase binnings with vmap instead of a serial
     # lax.map: one wide sort/expansion program instead of S sequential
     # ones (S = distinct sampled keyframe slots, 4-8). Costs S-times the
@@ -192,7 +198,7 @@ def map_frame(state: MapState,
     p0 = jax.tree.map(jax.lax.stop_gradient, state.params)
     alive0 = state.alive
 
-    subsample = mcfg.tile_subsample > 1
+    subsample = mcfg.tile_subsample > 1 or mcfg.force_subset
 
     def bin_slot(pose):
         quat, trans = pose

@@ -203,6 +203,61 @@ def test_map_frame_with_subsample_reduces_loss():
                         - rgb0).max()) > 0
 
 
+def test_map_frame_force_subset_sub1_tracks_exact():
+    """mapping.force_subset at tile_subsample=1: the subset machinery with
+    ALL tiles selected each iteration. Must run, reduce loss, and land
+    near the exact path's final loss (same render; only the SSIM
+    estimator differs — per-tile valid windows vs same-padded image)."""
+    from isogs_slam_tpu.core import gaussians as G
+    from isogs_slam_tpu.slam.mapping import (MappingConfig, PruneConfig,
+                                             map_frame)
+    cam = _cam()
+    params, alive = _scene()
+    rcfg = RasterConfig(backend="xla", bwd_mode="scatter")
+    gt_im, gt_depth = _gt(cam, params, alive, rcfg)
+    n = params.means3d.shape[0]
+    cap = 1024
+    pad = cap - n
+    padp = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), params)
+
+    def mk_state():
+        return G.MapState(
+            params=jax.tree.map(jnp.array, padp),
+            alive=jnp.concatenate([alive, jnp.zeros(pad, bool)]),
+            hwm=jnp.asarray(n, jnp.int32),
+            timestep=jnp.zeros(cap, jnp.float32),
+            max_2d_radius=jnp.zeros(cap, jnp.float32),
+            means2d_grad_accum=jnp.zeros(cap, jnp.float32),
+            denom=jnp.zeros(cap, jnp.float32),
+            scene_radius=jnp.asarray(4.0, jnp.float32))
+
+    lcfg = _lcfg(w_im=0.5)
+    base = MappingConfig(
+        num_iters=8, lr_means3d=0.0001, lr_rgb_colors=0.0025,
+        lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
+        lr_log_scales=0.001,
+        prune=PruneConfig(False, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+    kf_colors = (np.asarray(gt_im).transpose(1, 2, 0) * 255).astype(
+        np.uint8)[None]
+    kf_depths = np.asarray(gt_depth)[0][None]
+    args = (jnp.asarray(kf_colors), jnp.asarray(kf_depths),
+            jnp.asarray([[1., 0, 0, 0]]), jnp.zeros((1, 3)),
+            jnp.zeros(base.num_iters, jnp.int32),
+            jax.random.split(jax.random.PRNGKey(0), base.num_iters),
+            cam, rcfg, lcfg)
+    _, log_f, _ = map_frame(mk_state(), *args,
+                            base._replace(force_subset=True))
+    _, log_e, _ = map_frame(mk_state(), *args, base)
+    lf, le = np.asarray(log_f[:, 0]), np.asarray(log_e[:, 0])
+    assert np.isfinite(lf).all()
+    assert lf[-1] < lf[0]
+    # H,W are TILE multiples here so every window is valid: the two
+    # estimators should agree closely on each iteration's loss
+    np.testing.assert_allclose(lf, le, rtol=0.02)
+
+
 @pytest.mark.smoke
 def test_tile_cycle_covers_all_tiles_each_cycle():
     """Epoch-cycled selection (mapping.tile_cycle): within every cycle of
