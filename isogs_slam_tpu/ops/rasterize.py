@@ -1100,6 +1100,19 @@ def image_to_tiles(img: jnp.ndarray, cam: Camera) -> jnp.ndarray:
     return x.reshape(gy * gx, TILE * TILE, C)
 
 
+def tiles_to_image(tiles: jnp.ndarray, tiles_x: int) -> jnp.ndarray:
+    """[Ts, TILE*TILE, C] (row-major tile ids, Ts a multiple of tiles_x)
+    -> [C, (Ts/tiles_x)*TILE, tiles_x*TILE]. Inverse of image_to_tiles
+    restricted to a contiguous band of tile rows — the fast-mapping
+    stripe estimator reassembles its selected tiles with this before
+    running the full-image SSIM filter over the stripe."""
+    ts, _, c = tiles.shape
+    rows = ts // tiles_x
+    x = tiles.reshape(rows, tiles_x, TILE, TILE, c)
+    x = x.transpose(4, 0, 2, 1, 3)
+    return x.reshape(c, rows * TILE, tiles_x * TILE)
+
+
 def tile_pixel_validity(cam: Camera) -> np.ndarray:
     """[num_tiles, TILE*TILE] bool: pixel lies inside the H x W image
     (tiles on the right/bottom edge are partially padded)."""
@@ -1183,11 +1196,26 @@ def gather_raw_table(params, tile_gauss: jnp.ndarray) -> jnp.ndarray:
 
 
 def _slot_gdata(raw: jnp.ndarray, cam_quat: jnp.ndarray,
-                cam_trans: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+                cam_trans: jnp.ndarray, cam: Camera,
+                tile_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-slot world->camera transform + EWA projection of a frozen raw
     table [T, K, RAW_COLS] -> composite records [T, K, 10] with
     absolute-pixel (u, v). Shared by the full-image and tile-subset slot
-    renders; (cam_quat, cam_trans) are the only differentiable inputs."""
+    renders; (cam_quat, cam_trans) are the only differentiable inputs.
+
+    tile_ids [T] (None = arange): REAL tile id of each slot row, used for
+    the per-slot tile-rect coverage test. The frozen tile lists carry a
+    pixel MARGIN so one binning serves the whole frame's pose updates —
+    but a margin-added (tile, gaussian) pair composites real alpha (up to
+    op*e^{-4.5} ~ 0.01 per pair at the 3-sigma boundary; MEASURED max
+    0.71 summed image diff on a dense toy scene), which the reference's
+    per-iteration rebinning never renders (its rect IS the truncation,
+    renderer.cpp:192-212 / CUDA getRect). Worse, the extra contribution
+    is POSE-DEPENDENT, so the tracking loss minimum shifts away from the
+    pose the map was optimized for. Zeroing the opacity of slots whose
+    CURRENT-pose rect does not cover their tile makes the slot render
+    bit-consistent with the margin-0 per-gaussian render at every pose
+    inside the margin — reference truncation semantics, margin-free."""
     from ..utils.transforms import normalize, quat_mult
     T, K = raw.shape[0], raw.shape[1]
     flat = raw.reshape(T * K, RAW_COLS)
@@ -1214,6 +1242,20 @@ def _slot_gdata(raw: jnp.ndarray, cam_quat: jnp.ndarray,
     u, v, cA, cB, cC, det, radius_f = _ewa_core(means_cam, quats_cam,
                                                 log_scales, cam)
     valid = (tz > NEAR_CULL_Z) & (det != 0) & (radius_f > 0)
+
+    # current-pose tile-rect coverage (same formula as project_gaussians'
+    # rects(radius_f), margin 0): uncovered margin slots are silenced so
+    # the frozen-binning render keeps reference truncation semantics
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+    tx = jnp.repeat(tile_ids % cam.tiles_x, K).astype(jnp.float32)
+    ty = jnp.repeat(tile_ids // cam.tiles_x, K).astype(jnp.float32)
+    us, vs, rs = (jax.lax.stop_gradient(a) for a in (u, v, radius_f))
+    covered = ((tx >= jnp.floor((us - rs) / TILE))
+               & (tx < jnp.floor((us + rs + TILE - 1) / TILE))
+               & (ty >= jnp.floor((vs - rs) / TILE))
+               & (ty < jnp.floor((vs + rs + TILE - 1) / TILE)))
+    valid = valid & covered
     opacity = jnp.where(valid, jax.nn.sigmoid(logit_op), 0.0)
     # sanitize culled slots: their conic/uv can be inf/NaN and would poison
     # the pose gradient through 0 * NaN
@@ -1259,7 +1301,7 @@ def render_rgbd_sil_slots_subset(raw_sub: jnp.ndarray, counts_sub,
     (r, g, b, z, z^2), silhouette [Ts, P]) — same virtual single-row grid
     trick as render_tiles_subset (u, v shifted by virtual - real origin,
     an additive constant transparent to the pose gradient)."""
-    gdata = _slot_gdata(raw_sub, cam_quat, cam_trans, cam)
+    gdata = _slot_gdata(raw_sub, cam_quat, cam_trans, cam, tile_ids=sel)
     t_sub = raw_sub.shape[0]
     shift = _virtual_row_shift(sel, cam, gdata.shape[-1], gdata.dtype)
     grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)

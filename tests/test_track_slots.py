@@ -49,7 +49,12 @@ def _setup(seed=0, n=300):
     return cam, params, alive, gt_im, gt_d
 
 
-def _bin(cam, params, alive, quat, trans, rcfg, margin=8.0):
+def _bin(cam, params, alive, quat, trans, rcfg, margin=0.0):
+    # margin 0 for the identity comparisons: the slot path's per-slot
+    # coverage test silences margin-only candidates (reference truncation
+    # semantics), so a margin-widened binning renders like the MARGIN-0
+    # per-gaussian render, not like the per-gaussian render on the same
+    # widened lists — see test_margin_slot_render_is_output_preserving
     mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
                                 quat, trans, False, False)
     proj = project_gaussians(mc, qc, params.log_scales, alive, cam,
@@ -113,3 +118,58 @@ def test_slot_loss_and_pose_grads_match():
         assert np.all(np.isfinite(b)), b
         np.testing.assert_allclose(b, a, rtol=2e-4,
                                    atol=2e-4 * max(np.abs(a).max(), 1e-8))
+
+
+def test_margin_slot_render_is_output_preserving():
+    """The frozen-binning slot render with a pixel MARGIN must equal the
+    margin-0 per-gaussian render (reference truncation semantics) at the
+    binning pose AND at drifted poses inside the margin — the per-slot
+    coverage test in _slot_gdata silences margin-only candidates, whose
+    compositing alpha (up to op*e^{-4.5}) used to shift the tracking loss
+    minimum away from the mapping-consistent pose."""
+    cam, params, alive, _, _ = _setup(n=500)
+    # a margin-8 binning carries ~2x the margin-0 isect demand on this
+    # dense toy scene; give it headroom (overflow drops TRUE candidates
+    # in arbitrary order — the real pipeline's adaptive cap grows on
+    # demand, raster.adaptive_isect_cap)
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False,
+                        isect_per_gaussian=12.0)
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t0 = jnp.zeros(3)
+
+    mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                q0, t0, False, False)
+    proj_m = project_gaussians(mc, qc, params.log_scales, alive, cam,
+                               margin_px=8.0)
+    import jax as _jax
+    bin_m = bin_gaussians(
+        proj_m, cam, rcfg,
+        opacity=_jax.nn.sigmoid(params.logit_opacities[:, 0]),
+        cull_slack_px=8.0)
+    assert int(bin_m.n_overflow) == 0
+    raw = gather_raw_table(params, bin_m.tile_gauss)
+
+    # drifted poses within the margin budget (~0.5 px at this scale each);
+    # at the binning pose the renders must be BIT-EXACT; at drifted poses
+    # the only residual is the frozen within-tile depth-sort order of
+    # near-equal-z pairs (the reference re-sorts every iteration)
+    poses = [((q0, t0), 0.0),
+             ((jnp.asarray([1.0, 0.002, -0.001, 0.0]),
+               jnp.asarray([0.008, -0.006, 0.004])), 8e-3),
+             ((jnp.asarray([1.0, -0.001, 0.002, 0.001]),
+               jnp.asarray([-0.01, 0.005, -0.008])), 8e-3)]
+    for (q, t), atol in poses:
+        mc_p, qc_p = transform_to_frame(params.means3d,
+                                        params.unnorm_rotations, q, t,
+                                        False, False)
+        im_ref, d_ref, sil_ref, _, _ = render_rgbd_sil(
+            mc_p, qc_p, params.log_scales, params.logit_opacities,
+            params.rgb_colors, alive, cam, rcfg)   # fresh margin-0 bins
+        im_s, d_s, sil_s, _, _ = render_rgbd_sil_slots(
+            raw, bin_m.tile_count, q, t, cam, rcfg)
+        np.testing.assert_allclose(np.asarray(im_s), np.asarray(im_ref),
+                                   atol=atol)
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_ref),
+                                   atol=max(atol, 2e-3) if atol else 0.0)
+        np.testing.assert_allclose(np.asarray(sil_s), np.asarray(sil_ref),
+                                   atol=atol)
