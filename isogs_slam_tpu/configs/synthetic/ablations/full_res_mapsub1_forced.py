@@ -1,13 +1,13 @@
 """Ablation: full_res with mapping routed through the SUBSET loss path at
 tile_subsample=1 (mapping.force_subset) — every tile selected, zero
-sampling variance. The ONLY difference from the exact path is the
-estimator swap: per-tile valid-window SSIM (boundary windows dropped,
-interior-tile weighting) vs the reference's SAME-padded full-image SSIM.
+sampling variance, isolating the subset estimator from subsampling noise.
 
-Discriminator for the residual fast-mode ATE gap (2.8 vs 1.2 cm exact,
-flat across variance levels — NOTES.md session 8): if this run lands near
-2.8, the SSIM estimator is the systematic culprit; if near 1.2, blame the
-subsampling itself (frontier underfit)."""
+History: with the old per-tile valid-window SSIM this run measured ATE
+2.14 cm vs 1.22 exact, convicting the estimator (round-2 verdict item 1).
+The stripe estimator replacing it is loss-EQUIVALENT to the exact path at
+sub=1 (same-padded full-image SSIM over the whole-image stripe), so this
+run should now land at the exact path's ~1.22 cm — the regression gate
+for fast-mapping estimator changes."""
 import copy
 import os
 from importlib.machinery import SourceFileLoader

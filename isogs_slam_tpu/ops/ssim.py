@@ -64,9 +64,15 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
                       preferred_element_type=img.dtype)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
-         padding="SAME") -> jnp.ndarray:
-    """Mean SSIM over [C, H, W] images in [0, 1]."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+             padding="SAME") -> jnp.ndarray:
+    """Per-position SSIM map over [..., H, W] images in [0, 1].
+
+    SAME padding zero-pads (the Inria conv2d semantics,
+    utils/slam_external.py:66-97): boundary windows keep un-renormalized
+    taps, so a stripe whose out-of-image pixels are zeroed produces
+    bit-identical values to the full-image computation at every interior
+    window position (the fast-mapping stripe estimator relies on this)."""
     w = jnp.asarray(_gaussian_window(window_size), img1.dtype)
     pad = ([(window_size // 2, window_size // 2)] * 2
            if padding == "SAME" else padding)
@@ -78,31 +84,17 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     s2 = f[3] - mu2_sq
     s12 = f[4] - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
-    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1)
-                                              * (s1 + s2 + c2))
-    return m.mean()
+    return ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1)
+                                                 * (s1 + s2 + c2))
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         padding="SAME") -> jnp.ndarray:
+    """Mean SSIM over [C, H, W] images in [0, 1]."""
+    return ssim_map(img1, img2, window_size, padding).mean()
 
 
 calc_ssim = ssim  # reference-name alias
-
-
-def ssim_tiles(t1: jnp.ndarray, t2: jnp.ndarray,
-               window_size: int = 11) -> jnp.ndarray:
-    """Per-tile mean SSIM over [Ts, C, S, S] tile stacks with VALID
-    padding (only windows fully inside each tile) — the tile-subset
-    analog of `ssim` for the fast-mapping mode. Returns [Ts]."""
-    w = jnp.asarray(_gaussian_window(window_size), t1.dtype)
-    stack = jnp.stack([t1, t2, t1 * t1, t2 * t2, t1 * t2])
-    f = _depthwise_filter(stack, w, [(0, 0), (0, 0)])
-    mu1, mu2 = f[0], f[1]
-    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = f[2] - mu1_sq
-    s2 = f[3] - mu2_sq
-    s12 = f[4] - mu12
-    c1, c2 = 0.01 ** 2, 0.03 ** 2
-    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1)
-                                              * (s1 + s2 + c2))
-    return m.mean(axis=(1, 2, 3))
 
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)

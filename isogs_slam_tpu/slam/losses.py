@@ -229,23 +229,33 @@ def _isogs_terms(params, alive, key, lcfg: LossConfig, iso_grid, iso_pool):
 
 def compute_loss_subsampled(params: GaussianParams, alive: jnp.ndarray,
                             cam_quat, cam_trans, gt_tiles, valid_px,
-                            interior_w, sel, binning, cam: Camera,
+                            core_tiles, sel, binning, cam: Camera,
                             rcfg: RasterConfig, lcfg: LossConfig,
                             key=None, means2d_offset=None, iso_grid=None,
                             iso_pool=None) -> LossOutputs:
-    """Mapping loss on a uniformly-random tile subset (opt-in
-    fast-mapping mode, mapping.tile_subsample > 1).
+    """Mapping loss on a contiguous tile-row STRIPE (opt-in fast-mapping
+    mode, mapping.tile_subsample > 1).
 
-    gt_tiles [T_sub, P, 4] = (r, g, b, depth) of the selected tiles;
-    valid_px [T_sub, P] in-image pixel mask; interior_w [T_sub] per-tile
-    SSIM weight (1 = tile fully inside the image). The masked means below
-    are ratio-estimator samples of their full-image counterparts, so the
-    stochastic gradient is unbiased up to the SSIM term, which swaps the
-    reference's SAME-padded full-image filter for per-tile VALID windows
-    (boundary windows dropped) — the reason the mode is off by default."""
+    sel [Ts] are the tile ids of a full-width band of tile rows: a CORE
+    of ~tiles_y/sub rows plus one HALO tile row above and below
+    (mapping.select_stripe). gt_tiles [Ts, P, 4] = (r, g, b, depth) of
+    those tiles; valid_px [Ts, P] in-image pixel mask; core_tiles [Ts]
+    marks the core rows.
+
+    L1/depth are masked means over the CORE (ratio-estimator samples of
+    the full-image values). SSIM reassembles the whole stripe into an
+    image band, zeroes out-of-image pixels, and runs the reference's
+    SAME-padded filter over it: every window position centered in the
+    core reads true rendered neighbors from the halo (or the zero
+    padding the full-image filter would also see at image borders), so
+    the core positions' SSIM values are IDENTICAL to the full-image
+    computation — the estimator is an exact partition of the reference
+    SSIM mean, not an approximation. (The previous per-tile valid-window
+    estimator was measurably biased: forced-subset at sub=1 cost ATE
+    1.22 -> 2.14 cm on the full-res synthetic benchmark.)"""
     assert not lcfg.tracking
-    from ..ops.rasterize import TILE, render_tiles_subset
-    from ..ops.ssim import ssim_tiles
+    from ..ops.rasterize import render_tiles_subset, tiles_to_image
+    from ..ops.ssim import ssim_map
 
     means_cam, quats_cam = transform_to_frame(
         params.means3d, params.unnorm_rotations, cam_quat, cam_trans,
@@ -260,11 +270,12 @@ def compute_loss_subsampled(params: GaussianParams, alive: jnp.ndarray,
     gt_im = gt_tiles[..., 0:3]
     gt_depth = gt_tiles[..., 3]
 
+    core_px = core_tiles[:, None] & valid_px              # [Ts, P]
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
-    mask = (gt_depth > 0) & nan_mask & valid_px
+    mask = (gt_depth > 0) & nan_mask & core_px
     if lcfg.ignore_outlier_depth_loss:
-        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0)
+        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0) * core_px
         mask = mask & (depth_error < 10 * jnp.median(depth_error))
     mask = jax.lax.stop_gradient(mask)
 
@@ -276,15 +287,19 @@ def compute_loss_subsampled(params: GaussianParams, alive: jnp.ndarray,
         loss_depth = jnp.zeros(())
 
     im_abs = jnp.abs(gt_im - im)
-    vcnt = jnp.maximum(3.0 * jnp.sum(valid_px.astype(im_abs.dtype)), 1.0)
-    l1 = jnp.sum(jnp.where(valid_px[..., None], im_abs, 0.0)) / vcnt
-    # per-tile valid-window SSIM, weighted to interior tiles
-    ts = im.shape[0]
-    tp = im.reshape(ts, TILE, TILE, 3).transpose(0, 3, 1, 2)
-    tg = gt_im.reshape(ts, TILE, TILE, 3).transpose(0, 3, 1, 2)
-    s_t = ssim_tiles(tp, tg)                              # [Ts]
-    wsum = jnp.maximum(jnp.sum(interior_w), 1.0)
-    ssim_mean = jnp.sum(s_t * interior_w) / wsum
+    vcnt = jnp.maximum(3.0 * jnp.sum(core_px.astype(im_abs.dtype)), 1.0)
+    l1 = jnp.sum(jnp.where(core_px[..., None], im_abs, 0.0)) / vcnt
+    # stripe SSIM: reassemble the band, zero out-of-image pixels (== the
+    # full-image filter's zero padding), SAME-filter, average the core
+    # window positions. Halo rows contribute as window support only.
+    band = jnp.where(valid_px[..., None], jnp.concatenate(
+        [im, gt_im], axis=-1), 0.0)
+    band = tiles_to_image(band, cam.tiles_x)              # [6, Hs, Ws]
+    pos = tiles_to_image(core_px[..., None].astype(im.dtype),
+                         cam.tiles_x)[0]                  # [Hs, Ws]
+    m = ssim_map(band[0:3], band[3:6])                    # [3, Hs, Ws]
+    ssim_mean = (jnp.sum(m * pos[None])
+                 / jnp.maximum(3.0 * jnp.sum(pos), 1.0))
     loss_im = 0.8 * l1 + 0.2 * (1.0 - ssim_mean)
 
     loss_flat, loss_iso, mean_density = _isogs_terms(
@@ -298,7 +313,9 @@ def compute_loss_subsampled(params: GaussianParams, alive: jnp.ndarray,
         loss=wim + wdepth + wflat + wiso, im=wim, depth=wdepth, flat=wflat,
         iso=wiso, mean_density=mean_density, radii=aux["radii"],
         n_overflow=jnp.zeros((), jnp.int32),
-        mask_frac=jnp.mean(mask.astype(jnp.float32)))
+        mask_frac=(jnp.sum(mask.astype(jnp.float32))
+                   / jnp.maximum(jnp.sum(core_px.astype(jnp.float32)),
+                                 1.0)))
 
 
 def compute_loss(params: GaussianParams, alive: jnp.ndarray,

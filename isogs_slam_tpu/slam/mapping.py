@@ -76,24 +76,27 @@ class MappingConfig(NamedTuple):
     # (use_gaussian_splatting_densification, configs/*/splatam.py)
     use_densification: bool = False
     densify: tuple | None = None   # DensifyConfig when enabled
-    # fast-mapping mode (OFF by default, deviates from reference
-    # semantics): render the loss on a 1/tile_subsample random tile
-    # subset per iteration — every intersection-proportional cost
-    # (gather, Pallas fwd/bwd, backward scatter) shrinks by the factor.
-    # See losses.compute_loss_subsampled for the estimator notes.
+    # fast-mapping mode (OFF by default, stochastic-gradient variant of
+    # the reference semantics): render the loss on a 1/tile_subsample
+    # full-width tile-row STRIPE per iteration — every intersection-
+    # proportional cost (gather, Pallas fwd/bwd, backward scatter)
+    # shrinks by ~the factor (the stripe carries one halo tile row above
+    # and below so the SSIM windows are exact; see
+    # losses.compute_loss_subsampled for the estimator proof).
     tile_subsample: int = 1
-    # tile selection: True = epoch-style cycling (disjoint chunks of a
-    # per-cycle permutation — every tile rendered exactly once per
-    # `tile_subsample` iterations, i.e. without-replacement SGD); False =
-    # iid subsets (MEASURED WORSE: Poisson coverage leaves tiles with few
-    # visits per phase and the map underfits — ATE 11.3 vs 1.22 cm exact
-    # at sub4+40 iters, NOTES.md session 7 blame split).
+    # stripe selection: True = epoch-style cycling (a per-cycle
+    # permutation of the disjoint stripes — every tile rendered exactly
+    # once per `tile_subsample` iterations, i.e. without-replacement
+    # SGD); False = iid stripes (cycling MEASURED better for per-tile
+    # subsets: ATE 11.3 iid vs 2.82 cycled at sub4+40 iters, NOTES.md
+    # sessions 7-8).
     tile_cycle: bool = True
     # ablation knob: route through the subset loss path even at
     # tile_subsample=1 (all tiles selected, zero sampling variance).
-    # Isolates the estimator swap — per-tile valid-window SSIM vs the
-    # reference's SAME-padded full-image filter — from subsampling noise
-    # when chasing fast-mode quality gaps.
+    # With the stripe estimator this is loss-equivalent to the exact
+    # path (the sub=1 stripe IS the full image) — kept as the
+    # discriminator that proved the old per-tile valid-window SSIM was
+    # the fast-mode quality bug (ATE 1.22 -> 2.14 cm at sub=1).
     force_subset: bool = False
     # batch the per-slot phase binnings with vmap instead of a serial
     # lax.map: one wide sort/expansion program instead of S sequential
@@ -111,20 +114,47 @@ class MappingConfig(NamedTuple):
             log_scales=f(self.lr_log_scales))
 
 
-def select_tile_chunk(perm_base, it, sub: int, n_tiles: int, t_sub: int):
-    """Epoch-cycled tile subset for the fast-mapping mode.
+def stripe_shape(gy: int, gx: int, sub: int):
+    """Static stripe geometry for the fast-mapping mode: core rows per
+    stripe, window rows (core + up to one halo tile row on each side),
+    stripe count, and the rendered tile count Ts."""
+    rows_core = -(-gy // sub)
+    rows_w = min(rows_core + 2, gy)
+    n_stripes = -(-gy // rows_core)
+    return rows_core, rows_w, n_stripes, rows_w * gx
 
-    Chunk `it % sub` of a permutation reshuffled every `sub` iterations:
-    every tile is rendered exactly once per cycle (without-replacement
-    SGD), vs iid subsets whose Poisson coverage leaves some tiles nearly
-    unvisited within a phase. When sub does not divide n_tiles the last
-    chunk is shifted to stay in range (a few tiles visited twice per
-    cycle; none missed)."""
-    cycle = it // sub
-    perm = jax.random.permutation(jax.random.fold_in(perm_base, cycle),
-                                  n_tiles)
-    start = jnp.minimum((it % sub) * t_sub, n_tiles - t_sub)
-    return jax.lax.dynamic_slice(perm, (start,), (t_sub,))
+
+def select_stripe(perm_base, visit, stripe_or_key, gy: int, gx: int,
+                  rows_core: int, rows_w: int, n_stripes: int):
+    """Tile ids + core mask of one full-width tile-row stripe.
+
+    The stripe estimator (losses.compute_loss_subsampled) needs each
+    selected band to carry one HALO tile row above and below its core so
+    SSIM windows centered in the core read true rendered neighbors. Core
+    starts cycle through a per-cycle permutation of the n_stripes
+    disjoint bands (without-replacement SGD over the image; iid subsets
+    and the old per-tile chunks were MEASURED worse — NOTES.md sessions
+    7-8). When rows_core does not divide gy the last stripe is shifted
+    up to stay in range (a few rows visited twice per cycle; none
+    missed). Pass stripe_or_key=None for cycling, or a PRNG key for an
+    iid random stripe (mapping.tile_cycle=False).
+
+    Returns (sel [rows_w * gx] int32 ascending tile ids,
+    core [rows_w * gx] bool)."""
+    if stripe_or_key is None:
+        cycle = visit // n_stripes
+        perm = jax.random.permutation(
+            jax.random.fold_in(perm_base, cycle), n_stripes)
+        si = perm[visit % n_stripes]
+    else:
+        si = jax.random.randint(stripe_or_key, (), 0, n_stripes)
+    r0 = jnp.minimum(si * rows_core, gy - rows_core)
+    ws = jnp.clip(r0 - 1, 0, gy - rows_w)
+    rows = ws + jnp.arange(rows_w, dtype=jnp.int32)
+    core_row = (rows >= r0) & (rows < r0 + rows_core)
+    sel = (rows[:, None] * gx
+           + jnp.arange(gx, dtype=jnp.int32)[None, :]).reshape(-1)
+    return sel, jnp.repeat(core_row, gx)
 
 
 def _prune_mask(params: GaussianParams, alive, scene_radius, it,
@@ -212,7 +242,8 @@ def map_frame(state: MapState,
         # for the subset path (rasterize.subset_uses_segreduce)
         if subsample:
             from ..ops.rasterize import subset_uses_segreduce
-            t_sub = -(-cam.num_tiles // mcfg.tile_subsample)
+            t_sub = stripe_shape(cam.tiles_y, cam.tiles_x,
+                                 mcfg.tile_subsample)[3]
             emit = subset_uses_segreduce(rcfg, t_sub)
         else:
             emit = rcfg.resolve_bwd_mode() == "segreduce"
@@ -272,28 +303,25 @@ def map_frame(state: MapState,
         gt_tiles_all = jax.lax.map(
             lambda x: tile_gt(*x), (kf_colors_u8, kf_depths))  # [S,T,P,4]
         valid_px_full = jnp.asarray(tile_pixel_validity(cam))  # [T, P]
-        interior_full = valid_px_full.all(axis=1).astype(jnp.float32)
-        n_tiles = cam.num_tiles
-        t_sub = -(-n_tiles // mcfg.tile_subsample)
+        rows_core, rows_w, n_stripes, _ = stripe_shape(
+            cam.tiles_y, cam.tiles_x, mcfg.tile_subsample)
         perm_base = jax.random.fold_in(keys[0], 0x71C)
 
         def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
                     it, visit):
             key_sel, key_iso = jax.random.split(jax.random.fold_in(key, 7))
-            if mcfg.tile_cycle:
-                # cycle per (slot, visit): each keyframe's OWN iterations
-                # walk disjoint chunks — with a global cycle a slot seen
-                # ~iters/S times has a (1-1/sub)^visits chance a chunk
-                # never gets rendered for it within the phase
-                sel = select_tile_chunk(
-                    jax.random.fold_in(perm_base, slot), visit,
-                    mcfg.tile_subsample, n_tiles, t_sub)
-            else:
-                sel = jax.random.permutation(key_sel, n_tiles)[:t_sub]
+            # cycle per (slot, visit): each keyframe's OWN iterations
+            # walk disjoint stripes — with a global cycle a slot seen
+            # ~iters/S times has a (1-1/sub)^visits chance a stripe
+            # never gets rendered for it within the phase
+            sel, core = select_stripe(
+                jax.random.fold_in(perm_base, slot), visit,
+                None if mcfg.tile_cycle else key_sel,
+                cam.tiles_y, cam.tiles_x, rows_core, rows_w, n_stripes)
             gt_tiles = gt_tiles_all[slot][sel]
             out = compute_loss_subsampled(
                 params, alive, quat, trans, gt_tiles, valid_px_full[sel],
-                interior_full[sel], sel, binning, cam, rcfg, lcfg,
+                core, sel, binning, cam, rcfg, lcfg,
                 key=key_iso, means2d_offset=m2d, iso_grid=iso_grid,
                 iso_pool=iso_pool)
             return out.loss, out
