@@ -27,4 +27,9 @@ config["run_name"] = f"{scene_name}_{seed}"
 config["data"]["sequence"] = scene_name
 config["mapping"]["tile_subsample"] = 4
 config["tracking"]["tile_subsample"] = 4
-config["raster"]["tight_rect"] = True
+# tight_rect removed 2026-08-19: measured SLOWER than plain sub4 on the
+# bench (1.37 vs 1.50 FPS — compaction cost unpaid on isotropic
+# post-densify scenes; see README knob table / NOTES.md session 6)
+# the fan anneals the Adam bounce on the full-res pass (cheap: forward-
+# only probes on the strided tile subset)
+config["tracking"]["fan_rounds"] = 2

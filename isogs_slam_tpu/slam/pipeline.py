@@ -187,6 +187,10 @@ def _tracking_cfg(config) -> TrackingConfig:
         tile_subsample=int(t.get("tile_subsample", 1)),
         pyramid_levels=t.get("pyramid_levels", 1),
         pyramid_iters=t.get("pyramid_iters", 0),
+        pyramid_lr_scale=t.get("pyramid_lr_scale", 1.0),
+        fan_rounds=int(t.get("fan_rounds", 0)),
+        fan_trans_eps=t.get("fan_trans_eps", 0.0),
+        fan_quat_eps=t.get("fan_quat_eps", 0.0),
         bin_margin_px=t.get("bin_margin_px", 8.0),
         rebin_every_iter=t.get("rebin_every_iter", False),
         reuse_binning=t.get("reuse_binning", True),

@@ -112,8 +112,27 @@ class TrackingConfig(NamedTuple):
     # fast motion, and gives the full-res pass a near-basin start. Each
     # coarse level costs ~4^-k of a full-res iteration.
     pyramid_levels: int = 1
-    # iterations per coarse level (0 = same as num_iters)
+    # iterations per coarse level (0 = same as num_iters). Because a
+    # level-k iteration costs ~4^-k of a full-res one, moving most
+    # iterations coarse (large pyramid_iters + small num_iters) is the
+    # cheap route to more total optimization per frame.
     pyramid_iters: int = 0
+    # per-level lr multiplier: level k uses lr * pyramid_lr_scale^k.
+    # > 1 explores faster at coarse levels (their basin is 2^k wider in
+    # pose space) while keeping the full-res pass at the reference lr.
+    pyramid_lr_scale: float = 1.0
+    # Pose-perturbation fan (0 = off = reference parity): after the Adam
+    # loop, fan_rounds rounds of a forward-only pattern search around the
+    # best pose — 14 probes per round (+/- eps on each quat/trans
+    # component, the Adam parametrization), eps halving each round.
+    # With L1 losses Adam bounces at lr scale and never anneals (NOTES.md
+    # round-1 findings); the fan descends below that floor for ~14
+    # forward slot-renders per round and no backward. Probes use the
+    # same mask-normalized candidate metric as the loop.
+    fan_rounds: int = 0
+    # fan step seeds; 0 = derive from the lrs (the bounce scale)
+    fan_trans_eps: float = 0.0
+    fan_quat_eps: float = 0.0
 
 
 class TrackResult(NamedTuple):
@@ -376,6 +395,41 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
     best_q, best_t = final.best_pose
     gn_accepted = jnp.asarray(-1, jnp.int32)
 
+    if tcfg.fan_rounds > 0:
+        # forward-only pattern search below the Adam bounce floor (see
+        # TrackingConfig.fan_rounds): probe +/- eps on each pose
+        # component, keep the best by the SAME candidate metric as the
+        # loop, halve eps, repeat. No backward passes; rejected probes
+        # leave the pose untouched, so the fan can only improve the
+        # metric the loop was already optimizing.
+        def cand_metric_fn(pose):
+            loss, out = loss_fn(pose)
+            if tcfg.mask_norm_candidate:
+                return loss / jnp.maximum(out.mask_frac, 1e-6)
+            return loss
+
+        eps_t0 = jnp.float32(tcfg.fan_trans_eps or tcfg.lr_trans)
+        eps_q0 = jnp.float32(tcfg.fan_quat_eps or tcfg.lr_quat)
+        eye4, eye3 = jnp.eye(4, dtype=jnp.float32), jnp.eye(3,
+                                                           dtype=jnp.float32)
+        dirs_q = jnp.concatenate([eye4, -eye4, jnp.zeros((6, 4))])  # [14,4]
+        dirs_t = jnp.concatenate([jnp.zeros((8, 3)), eye3, -eye3])  # [14,3]
+
+        def fan_round(r, carry):
+            bq, bt, bm = carry
+            s = jnp.power(jnp.float32(0.5), r.astype(jnp.float32))
+            qs = bq[None] + dirs_q * (eps_q0 * s)
+            ts = bt[None] + dirs_t * (eps_t0 * s)
+            ms = jax.lax.map(cand_metric_fn, (qs, ts))
+            i = jnp.argmin(ms)
+            better = ms[i] < bm
+            return (jnp.where(better, qs[i], bq),
+                    jnp.where(better, ts[i], bt), jnp.minimum(ms[i], bm))
+
+        m0 = cand_metric_fn((best_q, best_t))
+        best_q, best_t, _ = jax.lax.fori_loop(
+            0, tcfg.fan_rounds, fan_round, (best_q, best_t, m0))
+
     if tcfg.gn_iters > 0:
         from .icp import GNConfig, gn_depth_polish
         if tcfg.rebin_every_iter:
@@ -472,11 +526,17 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
     for k in range(tcfg.pyramid_levels - 1, 0, -1):
         cam_k = pyramid_cam(cam, k)
         im_k, d_k = downsample_frame(gt_im, gt_depth, k)
-        # gn_iters=0: the GN depth polish is a sub-pixel refinement — at
-        # coarse levels it only adds a compile + renders; run it at full
-        # resolution only
+        # gn_iters=0 / fan_rounds=0: the GN polish and the perturbation
+        # fan are sub-pixel refinements — at coarse levels they only add
+        # compiles + renders; run them at full resolution only.
+        # pyramid_lr_scale^k: coarse levels may explore with larger steps
+        # (their photometric basin is 2^k wider in pose space).
+        lr_k = tcfg.pyramid_lr_scale ** k
         tcfg_k = tcfg._replace(num_iters=coarse_iters, pyramid_levels=1,
-                               use_depth_loss_thres=False, gn_iters=0)
+                               use_depth_loss_thres=False, gn_iters=0,
+                               fan_rounds=0,
+                               lr_quat=tcfg.lr_quat * lr_k,
+                               lr_trans=tcfg.lr_trans * lr_k)
         res = track_frame(params, alive, q, t, im_k, d_k, cam_k, rcfg,
                           lcfg, tcfg_k)
         q, t = res.quat, res.trans
