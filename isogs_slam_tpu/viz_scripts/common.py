@@ -30,8 +30,15 @@ def have_open3d() -> bool:
         return False
 
 
-def load_scene(result_dir: str, checkpoint: str | None = None):
-    """Checkpoint -> (MapState, cam Camera, est_w2cs [T,4,4], gt_w2cs)."""
+def load_scene(result_dir: str, checkpoint: str | None = None,
+               return_sh: bool = False):
+    """Checkpoint -> (MapState, cam Camera, est_w2cs [T,4,4], gt_w2cs,
+    path[, sh_flat]). With return_sh=True a 6th element is appended: the
+    capacity-padded [cap, 48] deg-3 SH coefficients when the checkpoint
+    carries a `sh_coeffs_flat` with nonzero higher bands (external 3DGS
+    checkpoints; the C++ renderer path, renderer.cpp:130-145), else
+    None (SLAM checkpoints store raw RGB; their SH0 export roundtrips to
+    the same colors)."""
     if checkpoint:
         path = (checkpoint if os.path.isabs(checkpoint)
                 else os.path.join(result_dir, checkpoint))
@@ -73,8 +80,18 @@ def load_scene(result_dir: str, checkpoint: str | None = None):
         est.append(np.asarray(pose_to_w2c(jnp.asarray(q / nq),
                                           jnp.asarray(trans[:, t]))))
     gt = data.get("gt_w2c_all_frames")
-    return st, cam, np.stack(est), (np.asarray(gt) if gt is not None
-                                    else None), path
+    out = (st, cam, np.stack(est), (np.asarray(gt) if gt is not None
+                                    else None), path)
+    if return_sh:
+        sh = data.get("sh_coeffs_flat")
+        if sh is not None and np.abs(np.asarray(sh)[:, 3:]).max() > 0:
+            pad = st.params.means3d.shape[0] - sh.shape[0]
+            sh_pad = jnp.asarray(np.pad(np.asarray(sh, np.float32),
+                                        ((0, pad), (0, 0))))
+            out = out + (sh_pad,)
+        else:
+            out = out + (None,)
+    return out
 
 
 def make_render_fn(cam: Camera, rcfg: RasterConfig):
@@ -90,10 +107,20 @@ def make_render_fn(cam: Camera, rcfg: RasterConfig):
     return go
 
 
-def render_w2c(fn, state, w2c: np.ndarray):
+def render_w2c(fn, state, w2c: np.ndarray, sh_flat=None, sh_deg: int = 3):
+    """Render one pose. sh_flat [cap, 48] (from load_scene return_sh):
+    view-dependent deg-`sh_deg` SH colors are evaluated per Gaussian for
+    this pose (an [N]-elementwise pre-pass) and substituted for the
+    stored rgb — the C++ renderer's SH path (renderer.cpp:130-145)."""
     q = np.asarray(rotmat_to_quat(jnp.asarray(w2c[:3, :3], jnp.float32)))
     q = q / np.linalg.norm(q)
-    return fn(state.params, state.alive, jnp.asarray(q, jnp.float32),
+    params = state.params
+    if sh_flat is not None:
+        from ..ops.sh import sh_colors_for_pose
+        center = jnp.asarray(-w2c[:3, :3].T @ w2c[:3, 3], jnp.float32)
+        params = params._replace(rgb_colors=sh_colors_for_pose(
+            sh_flat, params.means3d, center, sh_deg))
+    return fn(params, state.alive, jnp.asarray(q, jnp.float32),
               jnp.asarray(w2c[:3, 3], jnp.float32))
 
 

@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--orbit-frames", type=int, default=0,
                    help="additionally render an N-frame novel orbit")
     p.add_argument("--downscale", type=int, default=2)
+    p.add_argument("--sh", action="store_true",
+                   help="view-dependent deg-3 SH colors when the "
+                        "checkpoint carries nonzero higher-band "
+                        "sh_coeffs_flat (C++ renderer parity)")
     p.add_argument("--fps", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -62,8 +66,13 @@ def main(argv=None):
     viz_dir = os.path.join(result_dir, "viz")
     os.makedirs(viz_dir, exist_ok=True)
 
-    state, cam, est_w2cs, gt_w2cs, ckpt = load_scene(result_dir,
-                                                     args.checkpoint)
+    state, cam, est_w2cs, gt_w2cs, ckpt, sh_flat = load_scene(
+        result_dir, args.checkpoint, return_sh=True)
+    if not args.sh:
+        sh_flat = None
+    elif sh_flat is None:
+        print("[viz] --sh requested but the checkpoint has no nonzero "
+              "higher-band sh_coeffs_flat; rendering stored RGB")
     if args.downscale > 1:
         cam = cam.scaled(cam.width // args.downscale,
                          cam.height // args.downscale)
@@ -83,7 +92,8 @@ def main(argv=None):
 
     frames = []
     for t in range(0, est_w2cs.shape[0], max(args.every, 1)):
-        im, depth, sil = render_w2c(fn, state, est_w2cs[t])
+        im, depth, sil = render_w2c(fn, state, est_w2cs[t],
+                                    sh_flat=sh_flat)
         if args.mode == "color":
             frames.append(frame_to_uint8(im))
         elif args.mode == "depth":
@@ -102,7 +112,8 @@ def main(argv=None):
             np.linalg.norm(means - center, axis=1), 90)
         oframes = []
         for w2c in orbit_poses(center, radius, args.orbit_frames):
-            im, depth, sil = render_w2c(fn, state, w2c)
+            im, depth, sil = render_w2c(fn, state, w2c,
+                                        sh_flat=sh_flat)
             oframes.append(frame_to_uint8(im))
         save_video_or_frames(oframes, os.path.join(viz_dir, "orbit"),
                              fps=args.fps)
