@@ -1,14 +1,17 @@
 #!/usr/bin/env bash
-# Round-2 TPU measurement sequence — run when the tunnel is up.
+# Round-3 TPU measurement sequence — run when the tunnel is up.
 # ONE tunneled chip: runs everything strictly serially. Outputs land in
 # experiments/tpu_measure_<ts>/ so numbers survive the session.
 #
 # Usage: bash bash_scripts/tpu_measure.sh [quick|full|quality]
-#   quick:   bench exact + fast modes (~15 min incl. compiles)
-#   full:    quick + profile_map + full_res 30-frame quality run (~1 h)
-#   quality: the quality-ablation battery ONLY — full_res + gn3
-#            (eigencut), mapping-subsample-only, tracking-subsample-only
-#            (~1.5 h; adjudicates NOTES.md open quality questions)
+#   quick:   bench exact + fast modes + vmap_bins A/B (~20 min)
+#   full:    quick + profile_map + density steady-state + the quality
+#            battery (~2 h)
+#   quality: the quality-ablation battery ONLY (~2 h):
+#            full_res exact, mapsub1_forced (stripe-estimator regression
+#            gate — must land at the exact ~1.22 cm), mapsub4 (stripe
+#            contract check: ATE <= 1.35 cm, PSNR within 0.5 dB), fan3
+#            (sub-cm tracking attack), track_coarse (tracking throughput)
 set -u
 MODE="${1:-quick}"
 TS=$(date +%Y%m%d_%H%M%S)
@@ -35,21 +38,32 @@ quality_run() { # quality_run <name> <config> — full_res-style 30-frame run
        "$OUT/${name}_runtime_stats.json" 2>/dev/null || true
 }
 
-if [ "$MODE" = "quality" ]; then
-    # GN ablations retired 2026-08-19: every GN variant (eigencut,
-    # combined-photometric, 2 mm trust region) drifts super-linearly on
-    # sequences (13-26 cm; gauge drift). Battery = exact + the cycling
-    # fast modes.
+quality_battery() {
     A=isogs_slam_tpu/configs/synthetic/ablations
     quality_run full_res isogs_slam_tpu/configs/synthetic/full_res.py \
         synthetic_room_fullres_0
+    # stripe-estimator regression gate: the subset loss path at sub=1 is
+    # now loss-equivalent to the exact path; expect ATE ~= full_res's
+    # (the old per-tile valid-window estimator measured 2.14 vs 1.22)
+    quality_run mapsub1f "$A/full_res_mapsub1_forced.py" \
+        synthetic_room_fullres_mapsub1f_0
+    # fast-mapping contract check at sub4 stripes (cycled)
     quality_run mapsub4 "$A/full_res_mapsub4.py" \
         synthetic_room_fullres_mapsub_0
-    quality_run mapsub2 "$A/full_res_mapsub2.py" \
-        synthetic_room_fullres_mapsub2_0
-    echo "== done; results in $OUT"
+    # round-3 sub-cm tracking attack: forward-only perturbation fan
+    quality_run fan3 "$A/full_res_fan3.py" \
+        synthetic_room_fullres_fan3_0
+    # tracking throughput: most iterations at the coarse pyramid level
+    quality_run track_coarse "$A/full_res_track_coarse.py" \
+        synthetic_room_fullres_trackcoarse_0
+    echo "== quality battery done"
     grep -H '"Final Average ATE\|"Average PSNR' \
         "$OUT"/*_eval_summary.json 2>/dev/null || true
+}
+
+if [ "$MODE" = "quality" ]; then
+    quality_battery
+    echo "== done; results in $OUT"
     exit 0
 fi
 
@@ -60,12 +74,11 @@ fi
 #     1.37 vs 1.50 FPS plain sub4 — compaction cost unpaid on the
 #     isotropic post-densify bench scene (2026-08-18).
 
-# 1. exact reference semantics — honest re-measure with the demand-driven
-# isect cap (re-warm at final cap landed in b92aeb7; the first attempt's
-# 0.11 FPS was a recompile-in-measured-loop artifact).
+# 1. exact reference semantics (demand-driven isect cap, re-warm at final
+# cap — the honest protocol from b92aeb7)
 run bench_exact 1200 python bench.py
 
-# 2. fast modes (opt-in): epoch-cycled mapping tile subset, then tracking
+# 2. fast modes (opt-in): stripe-cycled mapping subset, then tracking
 # subset too
 BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
 BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
@@ -83,16 +96,13 @@ if [ "$MODE" = "full" ]; then
     run profile_map_sub4 900 python -m isogs_slam_tpu.tools.profile_map \
         --tile-sub 4
 
-    # 4. quality battery: exact full_res + the cycling fast modes
-    # (mapsub2 is the session-8 discriminator for the residual 2.8-vs-1.2
-    # ATE gap: flat across variance levels => systematic, not variance)
-    A=isogs_slam_tpu/configs/synthetic/ablations
-    quality_run full_res isogs_slam_tpu/configs/synthetic/full_res.py \
-        synthetic_room_fullres_0
-    quality_run mapsub2 "$A/full_res_mapsub2.py" \
-        synthetic_room_fullres_mapsub2_0
-    quality_run mapsub4 "$A/full_res_mapsub4.py" \
-        synthetic_room_fullres_mapsub_0
+    # 4. mesh density steady state (VERDICT item 7): 500k flakes, 253^3
+    run profile_density 1800 python -m \
+        isogs_slam_tpu.tools.profile_density --n 500000 --voxel 0.02 \
+        --out "$OUT/density_profile.json"
+
+    # 5. quality battery
+    quality_battery
 fi
 
 echo "== done; results in $OUT"

@@ -1,0 +1,194 @@
+"""Multi-chip mapping-phase scaling shape on a virtual device mesh.
+
+Times the data-parallel multiview mapping phase (parallel/sharded.py::
+make_multiview_map_phase — the program config["parallel"]["map_views"]=B
+runs) at B in {1, 2, 4, 8} with a FIXED total view-render budget, and the
+serial map_frame baseline on the same budget, then writes a JSON scaling
+table. Correctness (serial equality) is already pinned by
+tests/test_parallel_and_resume.py; this artifact pins the *shape*:
+
+  * views/sec per configuration, and
+  * overhead(B) = t_step(B) / (B * t_step(1)) — the fraction of a
+    B-view step NOT explained by B times the one-view work.
+
+Interpretation: on this host every virtual device shares the same CPU
+cores, so t_step(B) grows ~linearly and views/sec stays ~flat — the
+collective/glue overhead is the measurable part. On a real B-chip slice
+the per-view compute divides by B, so projected wall-clock per step is
+~t_step(B)/B + measured overhead (ICI psum of the replicated-parameter
+gradients being the only cross-chip traffic).
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      JAX_PLATFORMS=cpu PYTHONPATH=. \
+      python -m isogs_slam_tpu.tools.multichip_scaling \
+        [--views 16] [--n-gauss 20000] [--out MULTICHIP_SCALING.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build_scene(n: int, cam, seed: int = 0):
+    import jax.numpy as jnp
+    from isogs_slam_tpu.core.gaussians import (append_rows, empty_state,
+                                               new_gaussian_rows)
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    means[:, 2] += 2.5
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cap = 1 << (n - 1).bit_length()
+    state = empty_state(max(cap, 2 * n))
+    state = append_rows(
+        state,
+        new_gaussian_rows(jnp.asarray(means), jnp.asarray(rgb),
+                          jnp.full((n,), 4e-4)),
+        jnp.ones(n, bool), 0)
+    return state
+
+
+def _configs(n_iso: int):
+    from isogs_slam_tpu.ops.rasterize import RasterConfig
+    from isogs_slam_tpu.slam.losses import LossConfig
+    from isogs_slam_tpu.slam.mapping import MappingConfig, PruneConfig
+    rcfg = RasterConfig(max_per_tile=128, tile_chunk=48)
+    lcfg = LossConfig(
+        tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+        w_flat=50.0, w_iso=2.0, iso_sample_size=1024, iso_k=16,
+        calc_iso=True, knn_block=4096, iso_pool_size=n_iso)
+    mk = lambda iters: MappingConfig(
+        num_iters=iters, lr_means3d=1e-4, lr_rgb_colors=2.5e-3,
+        lr_unnorm_rotations=1e-3, lr_logit_opacities=0.05,
+        lr_log_scales=1e-3,
+        prune=PruneConfig(False, 0, 0, 10 ** 6, 20, 0.005, 0.005, False,
+                          3000))
+    return rcfg, lcfg, mk
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=16,
+                    help="total view renders per timed phase")
+    ap.add_argument("--n-gauss", type=int, default=20000)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="MULTICHIP_SCALING.json")
+    args = ap.parse_args(argv)
+
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        print("warning: XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+              "not set; mesh sizes above the physical device count will "
+              "fail")
+
+    import jax
+    import jax.numpy as jnp
+    from isogs_slam_tpu.core.camera import Camera
+    from isogs_slam_tpu.parallel.sharded import (make_mesh,
+                                                 make_multiview_map_phase,
+                                                 replicate)
+    from isogs_slam_tpu.slam.mapping import map_frame
+
+    cam = Camera(width=args.width, height=args.height,
+                 fx=args.height, fy=args.height,
+                 cx=args.width / 2 - 0.5, cy=args.height / 2 - 0.5)
+    rcfg, lcfg, mk_mcfg = _configs(n_iso=4096)
+    state0 = _build_scene(args.n_gauss, cam)
+
+    S = 8  # keyframe slots
+    rng = np.random.default_rng(1)
+    kf_colors = jnp.asarray(rng.integers(
+        0, 255, (S, cam.height, cam.width, 3), dtype=np.uint8))
+    kf_depths = jnp.asarray(
+        rng.uniform(1.5, 3.5, (S, cam.height, cam.width)).astype(
+            np.float32))
+    kf_quats = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (S, 1))
+    kf_transl = jnp.asarray(
+        rng.uniform(-0.05, 0.05, (S, 3)).astype(np.float32))
+
+    V = args.views
+    results = {"total_views": V, "n_gauss": args.n_gauss,
+               "image": [cam.height, cam.width],
+               "devices": jax.device_count(),
+               "backend": jax.default_backend(), "rows": []}
+
+    def timed(fn, *a):
+        fn(*a)  # compile + warm
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.tree.map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # serial baseline: map_frame with V one-view iterations
+    mcfg = mk_mcfg(V)
+    slots = jnp.asarray(np.arange(V) % S, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), V)
+
+    def serial(st):
+        return map_frame(st, kf_colors, kf_depths, kf_quats, kf_transl,
+                         slots, keys, cam, rcfg, lcfg, mcfg)[1]
+
+    # map_frame donates its state: hand it a fresh copy every call
+    t_serial = timed(lambda: serial(jax.tree.map(jnp.array, state0)))
+    results["rows"].append({
+        "mode": "serial_map_frame", "B": 1, "steps": V,
+        "phase_s": round(t_serial, 4),
+        "views_per_s": round(V / t_serial, 2)})
+    print(f"serial map_frame: {t_serial:.3f}s for {V} views "
+          f"({V / t_serial:.1f} views/s)")
+
+    t1 = None
+    for B in (1, 2, 4, 8):
+        if B > jax.device_count():
+            print(f"skip B={B}: only {jax.device_count()} devices")
+            continue
+        mesh = make_mesh(B)
+        n_steps = max(V // B, 1)
+        mcfg_b = mk_mcfg(n_steps * B)
+        phase = make_multiview_map_phase(mesh, cam, rcfg, lcfg, mcfg_b)
+        step_slots = jnp.asarray(
+            np.arange(n_steps * B).reshape(n_steps, B) % S, jnp.int32)
+        pkeys = jax.random.split(
+            jax.random.PRNGKey(0), n_steps * B).reshape(n_steps, B, -1)
+        st = replicate(mesh, state0)
+
+        def run(phase=phase, step_slots=step_slots, pkeys=pkeys, st=st):
+            # phase donates its state: fresh replicated copy per call
+            return phase(jax.tree.map(jnp.array, st), kf_colors,
+                         kf_depths, kf_quats, kf_transl, step_slots,
+                         pkeys)[1]
+
+        t = timed(run)
+        t_step = t / n_steps
+        if B == 1:
+            t1 = t_step
+        row = {"mode": "multiview_phase", "B": B, "steps": n_steps,
+               "phase_s": round(t, 4), "step_s": round(t_step, 4),
+               "views_per_s": round(n_steps * B / t, 2)}
+        if t1:
+            row["overhead_vs_Bx1"] = round(t_step / (B * t1), 3)
+        results["rows"].append(row)
+        print(f"multiview B={B}: {t:.3f}s / {n_steps} steps "
+              f"({row['views_per_s']} views/s"
+              + (f", step = {row['overhead_vs_Bx1']}x of B*t1)" if t1
+                 else ")"))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
