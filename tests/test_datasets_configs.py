@@ -14,7 +14,8 @@ pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CONFIGS = ["replica/splatam.py", "replica/splatam_s.py", "tum/splatam.py",
+CONFIGS = ["replica/splatam.py", "replica/splatam_s.py",
+           "replica/splatam_mc.py", "tum/splatam.py",
            "scannet/splatam.py", "scannetpp/splatam.py",
            "replica_v2/splatam.py", "iphone/splatam.py",
            # eval / NVS families (reference configs/*/{*_eval,eval_novel_view}.py)
@@ -186,3 +187,9 @@ def test_nerfcapture_loader(tmp_path):
     color, depth, intr, pose = ds[1]
     assert abs(float(depth[0, 0, 0]) - 2.0) < 1e-3
     assert intr[0, 0] == 50.0
+
+
+def test_multichip_config_carries_parallel_views():
+    cfg = load_experiment_config(
+        os.path.join(REPO, "configs", "replica/splatam_mc.py"))
+    assert int(cfg["parallel"]["map_views"]) >= 2
