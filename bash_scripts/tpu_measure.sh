@@ -80,15 +80,15 @@ run bench_exact 1200 python bench.py
 
 # 2. fast modes (opt-in): stripe-cycled mapping subset, then tracking
 # subset too
-BENCH_TILE_SUBSAMPLE=4 run bench_sub4 900 python bench.py
-BENCH_TILE_SUBSAMPLE=8 run bench_sub8 900 python bench.py
+BENCH_TILE_SUBSAMPLE=4 run bench_sub4 1500 python bench.py
+BENCH_TILE_SUBSAMPLE=8 run bench_sub8 1500 python bench.py
 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_sub4_track4 900 python bench.py
+    run bench_sub4_track4 1500 python bench.py
 
 # 2b. vmapped per-slot phase binning A/B (mapping.vmap_bins)
-BENCH_VMAP_BINS=1 run bench_exact_vb 900 python bench.py
+BENCH_VMAP_BINS=1 run bench_exact_vb 1500 python bench.py
 BENCH_VMAP_BINS=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_sub4_track4_vb 900 python bench.py
+    run bench_sub4_track4_vb 1500 python bench.py
 
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile

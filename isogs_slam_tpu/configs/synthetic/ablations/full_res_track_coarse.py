@@ -28,4 +28,7 @@ t["pyramid_levels"] = 2
 t["pyramid_iters"] = 40
 t["pyramid_lr_scale"] = 1.5
 t["tile_subsample"] = 4
-t["fan_rounds"] = 2
+# fan removed 2026-08-19: measured HARMFUL on sequences (with fan2 this
+# schedule hit ATE 8.32; fan3 alone took exact from 2.04 to 3.64 —
+# gauge drift, see NOTES round-3 session 2); re-adjudicating the
+# coarse-heavy schedule itself without it

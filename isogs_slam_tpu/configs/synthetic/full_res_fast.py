@@ -29,7 +29,8 @@ config["mapping"]["tile_subsample"] = 4
 config["tracking"]["tile_subsample"] = 4
 # tight_rect removed 2026-08-19: measured SLOWER than plain sub4 on the
 # bench (1.37 vs 1.50 FPS — compaction cost unpaid on isotropic
-# post-densify scenes; see README knob table / NOTES.md session 6)
-# the fan anneals the Adam bounce on the full-res pass (cheap: forward-
-# only probes on the strided tile subset)
-config["tracking"]["fan_rounds"] = 2
+# post-densify scenes; see README knob table / NOTES.md session 6).
+# fan_rounds measured HARMFUL on sequences (full_res+fan3 ATE 3.64 vs
+# ~2.2 exact-regime, super-linear drift — the fan optimizes the biased
+# tracking loss harder and absorbs map error into the pose, the same
+# gauge-drift mechanism that retired GN); unit-scene polish only.

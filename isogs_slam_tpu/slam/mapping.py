@@ -68,10 +68,17 @@ class MappingConfig(NamedTuple):
     lr_log_scales: float
     prune: PruneConfig
     eps: float = 1e-15
-    # tile lists are binned ONCE per keyframe slot per mapping phase
-    # (keyframe poses are fixed within a phase; Gaussians drift by far less
-    # than this pixel margin across the phase's Adam steps)
-    bin_margin_px: float = 4.0
+    # tile lists are binned ONCE per keyframe slot per mapping phase.
+    # 0 (default) = MARGIN-FREE: the lists are the TRUE tile rects at the
+    # phase-start params, so the mapping loss composites exactly the
+    # function eval and (coverage-fixed) tracking render. A positive
+    # margin makes the lists a superset, but margin-extra slots composite
+    # real alpha the reference's per-iteration rects never render, and
+    # the map then converges to "margin-render == GT" while tracking/eval
+    # see the margin-free render — MEASURED 2026-08-19: that mismatch
+    # cost tracked ATE 1.26 -> 2.04 cm and PSNR 20.35 -> 19.61 at
+    # full_res (ablations/full_res_map_margin0.py).
+    bin_margin_px: float = 0.0
     # optional Inria clone/split densification during mapping
     # (use_gaussian_splatting_densification, configs/*/splatam.py)
     use_densification: bool = False

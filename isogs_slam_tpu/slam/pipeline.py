@@ -170,7 +170,14 @@ def _mapping_cfg(config) -> MappingConfig:
         tile_subsample=int(m.get("tile_subsample", 1)),
         tile_cycle=bool(m.get("tile_cycle", True)),
         force_subset=bool(m.get("force_subset", False)),
-        vmap_bins=bool(m.get("vmap_bins", False)))
+        vmap_bins=bool(m.get("vmap_bins", False)),
+        # 0 (default) = margin-free phase binnings: tile lists are the
+        # TRUE rects at the phase-start params, so the mapping loss
+        # composites exactly what eval and (coverage-fixed) tracking
+        # render — full render-semantics consistency across the three
+        # surfaces (MEASURED: ATE 2.04 -> 1.26 cm, PSNR 19.61 -> 20.35;
+        # see MappingConfig.bin_margin_px)
+        bin_margin_px=float(m.get("bin_margin_px", 0.0)))
 
 
 def _tracking_cfg(config) -> TrackingConfig:
