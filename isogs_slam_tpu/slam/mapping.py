@@ -98,6 +98,14 @@ class MappingConfig(NamedTuple):
     # subsets: ATE 11.3 iid vs 2.82 cycled at sub4+40 iters, NOTES.md
     # sessions 7-8).
     tile_cycle: bool = True
+    # lazy (sparse) Adam for the subset path: a Gaussian's moments /
+    # bias-correction count / params advance only on iterations whose
+    # stripe actually produced a gradient for it. Without this, every
+    # non-visited iteration applies a pure-momentum echo step (~2.4x
+    # overshoot per visit at sub=4) that the reference's full-image Adam
+    # never takes. No effect on the exact path (every visible row is
+    # touched every iteration there, matching torch semantics).
+    lazy_adam: bool = True
     # ablation knob: route through the subset loss path even at
     # tile_subsample=1 (all tiles selected, zero sampling variance).
     # With the stripe estimator this is loss-equivalent to the exact
@@ -405,7 +413,7 @@ def map_frame(state: MapState,
                          out.mean_density, out.mask_frac])
         return (st, opt), log
 
-    opt0 = optim.init(state.params)
+    opt0 = optim.init(state.params, lazy=subsample and mcfg.lazy_adam)
     its = jnp.arange(mcfg.num_iters, dtype=jnp.int32)
     # per-slot visit counters: visits[i] = #{j < i : slots[j] == slots[i]}
     # (drives the per-slot tile-chunk cycling; [num_iters]^2 is tiny)

@@ -169,6 +169,7 @@ def _mapping_cfg(config) -> MappingConfig:
         use_densification=use_dens, densify=dens,
         tile_subsample=int(m.get("tile_subsample", 1)),
         tile_cycle=bool(m.get("tile_cycle", True)),
+        lazy_adam=bool(m.get("lazy_adam", True)),
         force_subset=bool(m.get("force_subset", False)),
         vmap_bins=bool(m.get("vmap_bins", False)),
         # 0 (default) = margin-free phase binnings: tile lists are the

@@ -68,6 +68,80 @@ def test_adam_matches_torch():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_lazy_adam_visit_time_equals_dense():
+    """Lazy Adam: a row's trajectory equals dense Adam run on just its
+    visited gradients (the subset-mode consistency contract), and rows
+    never visited stay bit-frozen (params, moments, counts)."""
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=(6, 3)).astype(np.float32)
+    # row visit schedule over 7 iters: row0 every iter, row1 iters {1,4},
+    # row2 iters {0,2,3,5,6}, row3 never, rows 4-5 alternate
+    visits = np.zeros((7, 6), bool)
+    visits[:, 0] = True
+    visits[[1, 4], 1] = True
+    visits[[0, 2, 3, 5, 6], 2] = True
+    visits[0::2, 4] = True
+    visits[1::2, 5] = True
+    grads = [rng.normal(size=(6, 3)).astype(np.float32) for _ in range(7)]
+
+    jp = jnp.asarray(p0)
+    st = optim.init(jp, lazy=True)
+    for it, g in enumerate(grads):
+        gm = g * visits[it][:, None]
+        jp, st = optim.step(jp, jnp.asarray(gm), st, jnp.float32(0.01),
+                            eps=1e-8)
+
+    # per-row reference: dense Adam over only the visited grads
+    for row in range(6):
+        seq = [grads[it][row:row + 1] for it in range(7) if visits[it, row]]
+        rp = jnp.asarray(p0[row:row + 1])
+        rst = optim.init(rp)
+        for g in seq:
+            rp, rst = optim.step(rp, jnp.asarray(g), rst, jnp.float32(0.01),
+                                 eps=1e-8)
+        np.testing.assert_allclose(np.asarray(jp[row]), np.asarray(rp[0]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"row {row}")
+        assert int(st.rcount[row, 0]) == len(seq)
+    # never-visited row is bit-identical, moments stay zero
+    np.testing.assert_array_equal(np.asarray(jp[3]), p0[3])
+    assert float(jnp.abs(st.mu[3]).max()) == 0.0
+
+
+def test_lazy_adam_all_touched_matches_dense():
+    """With every row touched every iteration (the sub=1 stripe case),
+    lazy and dense Adam produce identical trajectories."""
+    rng = np.random.default_rng(2)
+    p0 = rng.normal(size=(4, 2)).astype(np.float32)
+    grads = [rng.normal(size=(4, 2)).astype(np.float32) + 0.01
+             for _ in range(5)]
+    jp_d, st_d = jnp.asarray(p0), optim.init(jnp.asarray(p0))
+    jp_l, st_l = jnp.asarray(p0), optim.init(jnp.asarray(p0), lazy=True)
+    for g in grads:
+        jp_d, st_d = optim.step(jp_d, jnp.asarray(g), st_d,
+                                jnp.float32(0.01), eps=1e-8)
+        jp_l, st_l = optim.step(jp_l, jnp.asarray(g), st_l,
+                                jnp.float32(0.01), eps=1e-8)
+    np.testing.assert_allclose(np.asarray(jp_l), np.asarray(jp_d),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_lazy_adam_surgery_preserves_rcount():
+    """mask_rows gathers and zero_rows keeps the per-row counts."""
+    p = jnp.ones((4, 2))
+    st = optim.init(p, lazy=True)
+    g = jnp.asarray(np.array([[1, 1], [0, 0], [2, 2], [3, 3]], np.float32))
+    _, st = optim.step(p, g, st, jnp.float32(0.01))
+    order = jnp.asarray([2, 0, 1, 3])
+    st2 = optim.mask_rows(st, order)
+    np.testing.assert_array_equal(np.asarray(st2.rcount[:, 0]),
+                                  [1, 1, 0, 1])
+    st3 = optim.zero_rows(st2, jnp.asarray([True, False, False, False]))
+    assert float(jnp.abs(st3.mu[0]).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(st3.rcount[:, 0]),
+                                  [1, 1, 0, 1])
+
+
 def test_ssim_matches_torch_conv():
     """calc_ssim vs the Inria torch implementation re-run in torch."""
     torch = pytest.importorskip("torch")
