@@ -656,6 +656,12 @@ class SLAM:
         if stats.shape[0] > 2:
             self._note_isect_demand(int(stats[2]))
         frac = dropped / max(total, 1)
+        # per-phase truncation observability: the reference composites
+        # every intersection, so any persistent true-candidate drop is a
+        # render-semantics deviation — write_runtime_stats reports the
+        # max/mean over phases (the once-only warning below hides whether
+        # frame-0's dense transient persists in steady state)
+        self.stats.setdefault("tile_cap_dropped_frac", []).append(frac)
         if frac <= 0.005:
             return
         K = self.rcfg.max_per_tile
@@ -938,6 +944,12 @@ class SLAM:
         }
         if s["gn_accepted"]:
             d["GN Polish Acceptance Rate"] = mean(s["gn_accepted"])
+        caps = s.get("tile_cap_dropped_frac", [])
+        if caps:
+            d["Tile-Cap True-Drop Frac (max)"] = float(np.max(caps))
+            d["Tile-Cap True-Drop Frac (mean)"] = float(np.mean(caps))
+            d["Tile-Cap Phases > 0.5%"] = int(np.sum(np.asarray(caps)
+                                                     > 0.005))
         with open(os.path.join(self.output_dir, "runtime_stats.json"),
                   "w") as f:
             json.dump(d, f, indent=2)
