@@ -40,4 +40,8 @@ config = make_config(
 
 config["parallel"] = {
     "map_views": int(os.environ.get("SPLATAM_MAP_VIEWS", "8")),
+    # tile-sharded tracking: the per-frame Adam pose loop runs with the
+    # compositing tiles sharded over the mesh (parallel/track_sharded.py)
+    # — tracking is the Amdahl term once mapping shards over views
+    "track_tiles": int(os.environ.get("SPLATAM_TRACK_TILES", "8")),
 }

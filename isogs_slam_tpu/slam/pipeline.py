@@ -19,6 +19,7 @@ device work per frame is 2-3 XLA program invocations.
 from __future__ import annotations
 
 import csv
+import functools
 import json
 import os
 import time
@@ -169,9 +170,10 @@ def _mapping_cfg(config) -> MappingConfig:
         use_densification=use_dens, densify=dens,
         tile_subsample=int(m.get("tile_subsample", 1)),
         tile_cycle=bool(m.get("tile_cycle", True)),
-        lazy_adam=bool(m.get("lazy_adam", True)),
+        lazy_adam=bool(m.get("lazy_adam", False)),
         force_subset=bool(m.get("force_subset", False)),
         vmap_bins=bool(m.get("vmap_bins", False)),
+        exact_polish_iters=int(m.get("exact_polish_iters", 0)),
         # 0 (default) = margin-free phase binnings: tile lists are the
         # TRUE rects at the phase-start params, so the mapping loss
         # composites exactly what eval and (coverage-fixed) tracking
@@ -350,13 +352,34 @@ class SLAM:
             self._mv_phase = make_multiview_map_phase(
                 self._mv_mesh, self.cam, self.rcfg, self.lcfg_map,
                 self.mcfg)
+        # multi-chip tracking over a tile mesh
+        # (config["parallel"]["track_tiles"]): the whole per-frame Adam
+        # pose loop runs inside a shard_map with the compositing tiles
+        # sharded (parallel/track_sharded.py); programs are cached per
+        # (camera, rcfg, lcfg, tcfg) so pyramid levels and isect-cap
+        # growth re-build automatically
+        self._track_tiles = int(cfg.get("parallel", {}).get(
+            "track_tiles", 0))
+        self._tt_mesh = None
+        self._tt_cache = {}
+        if self._track_tiles > 1:
+            from ..parallel.track_sharded import make_tile_mesh
+            n_dev = len(jax.devices())
+            if self._track_tiles > n_dev:
+                print(f"[parallel] track_tiles {self._track_tiles} > "
+                      f"{n_dev} devices; clamping")
+                self._track_tiles = n_dev
+            self._tt_mesh = make_tile_mesh(self._track_tiles)
         # cross-frame tracking tile-list cache; invalidated on every map
-        # edit (densify / mapping / compaction / growth)
+        # edit (densify / mapping / compaction / growth). The tile-sharded
+        # tracker bins internally every frame, so the cache is a
+        # serial-path-only feature.
         self._track_bins = (BinningReuse(
             self.tracking_cam, self.rcfg_track,
             margin_px=self.tcfg.cross_frame_margin_px,
             slack_px=self.tcfg.bin_margin_px)
             if self.tcfg.reuse_binning and not self.tcfg.rebin_every_iter
+            and self._tt_mesh is None
             else None)
 
     # ------------------------------------------------------------- helpers
@@ -563,8 +586,14 @@ class SLAM:
         binning = (self._track_bins.get(self.state.params, self.state.alive,
                                         q0, t0)
                    if self._track_bins is not None else None)
-        tracker = (track_frame_pyramid if self.tcfg.pyramid_levels > 1
-                   else track_frame)
+        if self._tt_mesh is not None:
+            base_fn = self._sharded_tracker
+            tracker = (functools.partial(track_frame_pyramid,
+                                         track_fn=base_fn)
+                       if self.tcfg.pyramid_levels > 1 else base_fn)
+        else:
+            tracker = (track_frame_pyramid if self.tcfg.pyramid_levels > 1
+                       else track_frame)
         res = tracker(self.state.params, self.state.alive, q0, t0,
                       im, depth, self.tracking_cam, self.rcfg_track,
                       self.lcfg_track, self.tcfg, binning=binning)
@@ -578,6 +607,25 @@ class SLAM:
         if res.gn_accepted is not None and self.tcfg.gn_iters > 0:
             self.stats["gn_accepted"].append(int(res.gn_accepted))
         return res
+
+    def _sharded_tracker(self, params, alive, q0, t0, im, depth, cam,
+                         rcfg, lcfg, tcfg, binning=None):
+        """track_frame-signature dispatcher to the tile-sharded tracking
+        program (parallel/track_sharded.py), built lazily per
+        (camera, rcfg, lcfg, tcfg) — pyramid levels and adaptive
+        isect-cap growth each get their own cached program. The
+        cross-frame binning cache is a serial-path feature (the sharded
+        program bins internally)."""
+        assert binning is None, \
+            "parallel.track_tiles is incompatible with reuse_binning"
+        key = (cam, rcfg, lcfg, tcfg)
+        fn = self._tt_cache.get(key)
+        if fn is None:
+            from ..parallel.track_sharded import make_tracking_frame_sharded
+            fn = make_tracking_frame_sharded(self._tt_mesh, cam, rcfg,
+                                             lcfg, tcfg)
+            self._tt_cache[key] = fn
+        return fn(params, alive, q0, t0, im, depth)
 
     # ------------------------------------------------------ densification
     def densify(self, time_idx, im, depth):

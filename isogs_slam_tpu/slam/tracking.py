@@ -243,6 +243,94 @@ class BinningReuse:
         return self._binning
 
 
+class PoseLoopState(NamedTuple):
+    """Final carry of the per-frame Adam pose loop (adam_pose_loop)."""
+    pose: tuple
+    opt: optim.AdamState
+    best_pose: tuple
+    min_loss: jnp.ndarray
+    it: jnp.ndarray
+    cur_max: jnp.ndarray
+    doubled: jnp.ndarray
+    done: jnp.ndarray
+    log: jnp.ndarray
+
+
+def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
+                   value_and_grad_fn=None) -> PoseLoopState:
+    """The whole per-frame tracking optimization as one lax.while_loop:
+    Adam on (quat, trans), best-candidate selection under the (optionally
+    mask-normalized) metric, per-iteration lr decay, and the TUM-style
+    depth_loss_thres iteration-doubling stop rule
+    (scripts/splatam.py:1247-1317). `loss_fn(pose) -> (loss, LossOutputs)`
+    is the caller's render/loss closure — the serial slot-table path and
+    the tile-sharded multi-chip path share this loop.
+
+    value_and_grad_fn overrides the default jax.value_and_grad(loss_fn):
+    the tile-sharded path (parallel/track_sharded.py) must psum the pose
+    GRADIENTS across the mesh axis explicitly (differentiating through a
+    psum'd forward would leave each device with only its local partial
+    gradient), so it differentiates the device-local loss and psums both
+    values and grads itself."""
+    max_iters = tcfg.num_iters * (2 if tcfg.use_depth_loss_thres else 1)
+    grad_fn = (jax.value_and_grad(loss_fn, has_aux=True)
+               if value_and_grad_fn is None else value_and_grad_fn)
+    lrs = (jnp.float32(tcfg.lr_quat), jnp.float32(tcfg.lr_trans))
+
+    init = PoseLoopState(
+        pose=pose0, opt=optim.init(pose0), best_pose=pose0,
+        min_loss=jnp.asarray(1e20, jnp.float32),
+        it=jnp.zeros((), jnp.int32),
+        cur_max=jnp.asarray(tcfg.num_iters, jnp.int32),
+        doubled=jnp.zeros((), bool), done=jnp.zeros((), bool),
+        log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32))
+
+    def cond(c: PoseLoopState):
+        return ~c.done
+
+    def body(c: PoseLoopState):
+        (loss, out), grads = grad_fn(c.pose)
+        if tcfg.lr_decay != 1.0:
+            decay = jnp.power(jnp.float32(tcfg.lr_decay),
+                              c.it.astype(jnp.float32))
+            it_lrs = (lrs[0] * decay, lrs[1] * decay)
+        else:
+            it_lrs = lrs
+        new_pose, new_opt = optim.step(c.pose, grads, c.opt, it_lrs,
+                                       eps=tcfg.eps)
+        if tcfg.mask_norm_candidate:
+            # per-masked-pixel loss: a candidate that merely shrank the
+            # silhouette mask does not look "better" (see TrackingConfig)
+            cand_metric = loss / jnp.maximum(out.mask_frac, 1e-6)
+        else:
+            cand_metric = loss
+        improved = cand_metric < c.min_loss
+        best_pose = jax.tree.map(
+            lambda b, n: jnp.where(improved, n, b), c.best_pose, new_pose)
+        min_loss = jnp.minimum(cand_metric, c.min_loss)
+        log = c.log.at[c.it].set(jnp.stack(
+            [out.loss, out.im, out.depth, out.flat, out.iso,
+             out.mean_density, out.mask_frac]))
+        it = c.it + 1
+        at_limit = it >= c.cur_max
+        if tcfg.use_depth_loss_thres:
+            below = out.depth < tcfg.depth_loss_thres
+            do_double = at_limit & ~below & ~c.doubled
+            done = at_limit & (below | c.doubled)
+            cur_max = jnp.where(do_double, 2 * tcfg.num_iters, c.cur_max)
+            doubled = c.doubled | do_double
+        else:
+            done = at_limit
+            cur_max = c.cur_max
+            doubled = c.doubled
+        return PoseLoopState(pose=new_pose, opt=new_opt,
+                             best_pose=best_pose, min_loss=min_loss, it=it,
+                             cur_max=cur_max, doubled=doubled, done=done,
+                             log=log)
+
+    return jax.lax.while_loop(cond, body, init)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "lcfg", "tcfg"))
 def track_frame(params: GaussianParams, alive: jnp.ndarray,
                 init_quat: jnp.ndarray, init_trans: jnp.ndarray,
@@ -327,71 +415,7 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                                          gt_depth, cam, rcfg, lcfg)
                 return out.loss, out
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    lrs = (jnp.float32(tcfg.lr_quat), jnp.float32(tcfg.lr_trans))
-
-    class Carry(NamedTuple):
-        pose: tuple
-        opt: optim.AdamState
-        best_pose: tuple
-        min_loss: jnp.ndarray
-        it: jnp.ndarray
-        cur_max: jnp.ndarray
-        doubled: jnp.ndarray
-        done: jnp.ndarray
-        log: jnp.ndarray
-
-    pose0 = (init_quat, init_trans)
-    init = Carry(pose=pose0, opt=optim.init(pose0), best_pose=pose0,
-                 min_loss=jnp.asarray(1e20, jnp.float32),
-                 it=jnp.zeros((), jnp.int32),
-                 cur_max=jnp.asarray(tcfg.num_iters, jnp.int32),
-                 doubled=jnp.zeros((), bool), done=jnp.zeros((), bool),
-                 log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32))
-
-    def cond(c: Carry):
-        return ~c.done
-
-    def body(c: Carry):
-        (loss, out), grads = grad_fn(c.pose)
-        if tcfg.lr_decay != 1.0:
-            decay = jnp.power(jnp.float32(tcfg.lr_decay),
-                              c.it.astype(jnp.float32))
-            it_lrs = (lrs[0] * decay, lrs[1] * decay)
-        else:
-            it_lrs = lrs
-        new_pose, new_opt = optim.step(c.pose, grads, c.opt, it_lrs,
-                                       eps=tcfg.eps)
-        if tcfg.mask_norm_candidate:
-            # per-masked-pixel loss: a candidate that merely shrank the
-            # silhouette mask does not look "better" (see TrackingConfig)
-            cand_metric = loss / jnp.maximum(out.mask_frac, 1e-6)
-        else:
-            cand_metric = loss
-        improved = cand_metric < c.min_loss
-        best_pose = jax.tree.map(
-            lambda b, n: jnp.where(improved, n, b), c.best_pose, new_pose)
-        min_loss = jnp.minimum(cand_metric, c.min_loss)
-        log = c.log.at[c.it].set(jnp.stack(
-            [out.loss, out.im, out.depth, out.flat, out.iso,
-             out.mean_density, out.mask_frac]))
-        it = c.it + 1
-        at_limit = it >= c.cur_max
-        if tcfg.use_depth_loss_thres:
-            below = out.depth < tcfg.depth_loss_thres
-            do_double = at_limit & ~below & ~c.doubled
-            done = at_limit & (below | c.doubled)
-            cur_max = jnp.where(do_double, 2 * tcfg.num_iters, c.cur_max)
-            doubled = c.doubled | do_double
-        else:
-            done = at_limit
-            cur_max = c.cur_max
-            doubled = c.doubled
-        return Carry(pose=new_pose, opt=new_opt, best_pose=best_pose,
-                     min_loss=min_loss, it=it, cur_max=cur_max,
-                     doubled=doubled, done=done, log=log)
-
-    final = jax.lax.while_loop(cond, body, init)
+    final = adam_pose_loop(loss_fn, (init_quat, init_trans), tcfg)
     best_q, best_t = final.best_pose
     gn_accepted = jnp.asarray(-1, jnp.int32)
 
@@ -514,12 +538,19 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
                         init_quat: jnp.ndarray, init_trans: jnp.ndarray,
                         gt_im: jnp.ndarray, gt_depth: jnp.ndarray,
                         cam: Camera, rcfg: RasterConfig, lcfg: LossConfig,
-                        tcfg: TrackingConfig, binning=None) -> TrackResult:
+                        tcfg: TrackingConfig, binning=None,
+                        track_fn=None) -> TrackResult:
     """Coarse-to-fine tracking: pyramid_levels-1 coarse passes feed the
     full-resolution track_frame. Each level is its own jitted program
     (static camera); the pose carries across levels, the best-candidate
     bookkeeping restarts per level (loss scales differ across levels).
-    Returns the full-resolution result with iters_run accumulated."""
+    Returns the full-resolution result with iters_run accumulated.
+
+    track_fn overrides the per-level tracker (same signature as
+    track_frame) — the pipeline passes the tile-sharded multi-chip
+    tracker here (parallel/track_sharded.py)."""
+    if track_fn is None:
+        track_fn = track_frame
     q, t = init_quat, init_trans
     coarse_logs = []
     coarse_iters = tcfg.pyramid_iters or tcfg.num_iters
@@ -537,13 +568,13 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
                                fan_rounds=0,
                                lr_quat=tcfg.lr_quat * lr_k,
                                lr_trans=tcfg.lr_trans * lr_k)
-        res = track_frame(params, alive, q, t, im_k, d_k, cam_k, rcfg,
-                          lcfg, tcfg_k)
+        res = track_fn(params, alive, q, t, im_k, d_k, cam_k, rcfg,
+                       lcfg, tcfg_k)
         q, t = res.quat, res.trans
         coarse_logs.append(res.loss_log[: int(res.iters_run)])
-    res = track_frame(params, alive, q, t, gt_im, gt_depth, cam, rcfg,
-                      lcfg, tcfg._replace(pyramid_levels=1),
-                      binning=binning)
+    res = track_fn(params, alive, q, t, gt_im, gt_depth, cam, rcfg,
+                   lcfg, tcfg._replace(pyramid_levels=1),
+                   binning=binning)
     # one contiguous log so iters_run always indexes valid rows
     # (consumers read log[iters_run - 1])
     extra = sum(r.shape[0] for r in coarse_logs)

@@ -184,6 +184,49 @@ def main(argv=None) -> int:
               + (f", step = {row['overhead_vs_Bx1']}x of B*t1)" if t1
                  else ")"))
 
+    # tile-sharded tracking shape: whole-frame Adam pose loop with the
+    # compositing tiles sharded over B devices (parallel/track_sharded.py)
+    from isogs_slam_tpu.parallel.track_sharded import (
+        make_tile_mesh, make_tracking_frame_sharded)
+    from isogs_slam_tpu.slam.losses import LossConfig
+    from isogs_slam_tpu.slam.tracking import TrackingConfig, track_frame
+
+    lcfg_t = LossConfig(
+        tracking=True, use_sil_for_loss=True, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+        calc_iso=False)
+    tcfg = TrackingConfig(num_iters=10, lr_quat=4e-4, lr_trans=2e-3)
+    params0 = jax.tree.map(jnp.array, state0.params)
+    alive0 = jnp.array(state0.alive)
+    gt_im = jnp.asarray(
+        rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32))
+    gt_d = jnp.asarray(
+        rng.uniform(1.5, 3.5, (1, cam.height, cam.width)).astype(
+            np.float32))
+    q0 = jnp.array([1.0, 0.002, 0, 0], jnp.float32)
+    t0 = jnp.array([0.01, 0, 0], jnp.float32)
+
+    t_ts = timed(lambda: track_frame(params0, alive0, q0, t0, gt_im, gt_d,
+                                     cam, rcfg, lcfg_t, tcfg).quat)
+    results["rows"].append({
+        "mode": "serial_track_frame", "B": 1,
+        "frame_s": round(t_ts, 4),
+        "track_iters_per_s": round(tcfg.num_iters / t_ts, 2)})
+    print(f"serial track_frame: {t_ts:.3f}s/frame")
+    for B in (1, 2, 4, 8):
+        if B > jax.device_count():
+            continue
+        fn = make_tracking_frame_sharded(make_tile_mesh(B), cam, rcfg,
+                                         lcfg_t, tcfg)
+        t = timed(lambda fn=fn: fn(params0, alive0, q0, t0, gt_im,
+                                   gt_d).quat)
+        results["rows"].append({
+            "mode": "track_tiles", "B": B, "frame_s": round(t, 4),
+            "track_iters_per_s": round(tcfg.num_iters / t, 2),
+            "overhead_vs_serial": round(t / t_ts, 3)})
+        print(f"track_tiles B={B}: {t:.3f}s/frame "
+              f"({t / t_ts:.2f}x serial)")
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
