@@ -12,7 +12,8 @@ recorded in BASELINE.md). vs_baseline = our FPS / 0.133.
 Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
 BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
 BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5), BENCH_TILE_SUBSAMPLE (mapping
-fast mode, 1 = exact), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
+fast mode, 1 = exact), BENCH_MAP_POLISH (closing exact iterations of a
+subsampled mapping phase), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
 1 = exact), BENCH_TILE_CULL (1 = output-preserving slot cull),
 BENCH_TIGHT_RECT (1 = opacity-aware exact-ellipse binning rects, also
 output-preserving), BENCH_ISECT_PER_GAUSSIAN (static isect capacity).
@@ -105,6 +106,7 @@ def main():
         lr_log_scales=0.001,
         prune=PruneConfig(True, 0, 0, 20, 20, 0.005, 0.005, False, 500),
         tile_subsample=tile_sub,
+        exact_polish_iters=int(os.environ.get("BENCH_MAP_POLISH", 0)),
         vmap_bins=bool(int(os.environ.get("BENCH_VMAP_BINS", 0))))
 
     key = jax.random.PRNGKey(0)

@@ -103,9 +103,25 @@ class MappingConfig(NamedTuple):
     # stripe actually produced a gradient for it. Without this, every
     # non-visited iteration applies a pure-momentum echo step (~2.4x
     # overshoot per visit at sub=4) that the reference's full-image Adam
-    # never takes. No effect on the exact path (every visible row is
+    # never takes. MEASURED 2026-08-19 (30-frame full_res, margin-0):
+    # the echo HELPS the subset regime — it acts as extra effective
+    # per-row iterations where each row only gets num_iters/sub visits
+    # (sub4@40: lazy ATE 6.88 vs dense 2.35 cm; sub4@80: 1.66 vs 1.48).
+    # Default OFF; the knob stays for schedules that re-tune lrs per
+    # visit count. No effect on the exact path (every visible row is
     # touched every iteration there, matching torch semantics).
-    lazy_adam: bool = True
+    lazy_adam: bool = False
+    # run the LAST `exact_polish_iters` iterations of a subsampled phase
+    # on the exact full-image loss (same optimizer state, same frozen
+    # binnings). Rationale: stripes leave the phase-final map in a
+    # stripe-correlated stale state — each band's loss was last
+    # consistent at ITS final visit, but params kept moving for up to
+    # `sub-1` iterations afterwards — and tracking then reads that
+    # spatially-patterned residual as pose error (the sub4 drift is
+    # super-linear from ~frame 15, NOTES.md round-3 session 4). A few
+    # exact closing iterations re-anchor every pixel to the same final
+    # params at a cost of 1 exact-iter-equivalent each.
+    exact_polish_iters: int = 0
     # ablation knob: route through the subset loss path even at
     # tile_subsample=1 (all tiles selected, zero sampling variance).
     # With the stripe estimator this is loss-equivalent to the exact
@@ -117,7 +133,10 @@ class MappingConfig(NamedTuple):
     # lax.map: one wide sort/expansion program instead of S sequential
     # ones (S = distinct sampled keyframe slots, 4-8). Costs S-times the
     # transient expansion memory; with the demand-driven isect cap that
-    # is ~100-400 MB at 1M Gaussians.
+    # is ~100-400 MB at 1M Gaussians. MEASURED 2026-08-19 (TPU bench,
+    # 939k Gaussians): LOSES — exact 0.873 FPS vs 0.923 serial (the
+    # batched sort's wider key space costs more than the dispatch
+    # saves). Experimental; keep off.
     vmap_bins: bool = False
 
     def lrs(self) -> GaussianParams:
@@ -244,6 +263,9 @@ def map_frame(state: MapState,
     alive0 = state.alive
 
     subsample = mcfg.tile_subsample > 1 or mcfg.force_subset
+    polish = (min(int(mcfg.exact_polish_iters), mcfg.num_iters)
+              if subsample else 0)
+    n_sub = mcfg.num_iters - polish
 
     def bin_slot(pose):
         quat, trans = pose
@@ -260,6 +282,8 @@ def map_frame(state: MapState,
             t_sub = stripe_shape(cam.tiles_y, cam.tiles_x,
                                  mcfg.tile_subsample)[3]
             emit = subset_uses_segreduce(rcfg, t_sub)
+            if polish:  # the closing exact iterations render full-image
+                emit = emit or rcfg.resolve_bwd_mode() == "segreduce"
         else:
             emit = rcfg.resolve_bwd_mode() == "segreduce"
         # cull budget while this binning is reused: pixel slack = the rect
@@ -304,6 +328,18 @@ def map_frame(state: MapState,
             hash_table_size=lcfg.hash_table_size,
             knn_block=lcfg.knn_block, grid=iso_grid)
 
+    def loss_fn_exact(params, m2d, alive, quat, trans, slot, key, binning,
+                      it, visit):
+        del it, visit
+        gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
+                 ).transpose(2, 0, 1)
+        gt_depth = kf_depths[slot][None]
+        out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
+                           cam, rcfg, lcfg, key=key, binning=binning,
+                           iso_grid=iso_grid, means2d_offset=m2d,
+                           iso_pool=iso_pool)
+        return out.loss, out
+
     if subsample:
         # pre-tile the phase's keyframe GT into the compositor's tile
         # layout once; iterations gather only the selected tiles' rows
@@ -322,8 +358,8 @@ def map_frame(state: MapState,
             cam.tiles_y, cam.tiles_x, mcfg.tile_subsample)
         perm_base = jax.random.fold_in(keys[0], 0x71C)
 
-        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
-                    it, visit):
+        def loss_fn_sub(params, m2d, alive, quat, trans, slot, key, binning,
+                        it, visit):
             key_sel, key_iso = jax.random.split(jax.random.fold_in(key, 7))
             # cycle per (slot, visit): each keyframe's OWN iterations
             # walk disjoint stripes — with a global cycle a slot seen
@@ -340,78 +376,81 @@ def map_frame(state: MapState,
                 key=key_iso, means2d_offset=m2d, iso_grid=iso_grid,
                 iso_pool=iso_pool)
             return out.loss, out
+
+        loss_fn = loss_fn_sub
     else:
-        def loss_fn(params, m2d, alive, quat, trans, slot, key, binning,
-                    it, visit):
-            del it, visit
-            gt_im = (kf_colors_u8[slot].astype(jnp.float32) / 255.0
-                     ).transpose(2, 0, 1)
-            gt_depth = kf_depths[slot][None]
-            out = compute_loss(params, alive, quat, trans, gt_im, gt_depth,
-                               cam, rcfg, lcfg, key=key, binning=binning,
-                               iso_grid=iso_grid, means2d_offset=m2d,
-                               iso_pool=iso_pool)
-            return out.loss, out
+        loss_fn = loss_fn_exact
 
     grad_argnums = (0, 1) if mcfg.use_densification else (0,)
-    grad_fn = jax.value_and_grad(loss_fn, argnums=grad_argnums,
-                                 has_aux=True)
 
-    def body(carry, xs):
-        st, opt = carry
-        slot, key, it, visit = xs
-        quat = jax.lax.stop_gradient(kf_quats[slot])
-        trans = jax.lax.stop_gradient(kf_transl[slot])
-        binning = jax.tree.map(lambda a: a[slot], bins)
+    def make_body(loss_f):
+        grad_fn = jax.value_and_grad(loss_f, argnums=grad_argnums,
+                                     has_aux=True)
 
-        m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
-               if mcfg.use_densification else None)
-        (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive, quat,
-                                          trans, slot, key, binning, it,
-                                          visit)
-        grads = grad_tuple[0]
-        if mcfg.use_densification:
-            from .densify import accumulate_mean2d_gradient, densify_step
-            st = accumulate_mean2d_gradient(st, out.radii, grad_tuple[1])
-            key_d, key = jax.random.split(key)
-            st, opt = densify_step(st, opt, key_d, it, mcfg.densify)
+        def body(carry, xs):
+            st, opt = carry
+            slot, key, it, visit = xs
+            quat = jax.lax.stop_gradient(kf_quats[slot])
+            trans = jax.lax.stop_gradient(kf_transl[slot])
+            binning = jax.tree.map(lambda a: a[slot], bins)
 
-        # seen/max_2D_radius bookkeeping (splatam.py:751-753)
-        seen = out.radii > 0
-        max_r = jnp.where(
-            seen, jnp.maximum(out.radii.astype(st.max_2d_radius.dtype),
-                              st.max_2d_radius), st.max_2d_radius)
-        st = st._replace(max_2d_radius=max_r)
+            m2d = (jnp.zeros((st.capacity, 2), jnp.float32)
+                   if mcfg.use_densification else None)
+            (loss, out), grad_tuple = grad_fn(st.params, m2d, st.alive,
+                                              quat, trans, slot, key,
+                                              binning, it, visit)
+            grads = grad_tuple[0]
+            if mcfg.use_densification:
+                from .densify import (accumulate_mean2d_gradient,
+                                      densify_step)
+                st = accumulate_mean2d_gradient(st, out.radii,
+                                                grad_tuple[1])
+                key_d, key = jax.random.split(key)
+                st, opt = densify_step(st, opt, key_d, it, mcfg.densify)
 
-        # prune (before the optimizer step, splatam.py:1461-1467)
-        remove = _prune_mask(st.params, st.alive, st.scene_radius, it, pc)
-        st = st._replace(alive=st.alive & ~remove)
+            # seen/max_2D_radius bookkeeping (splatam.py:751-753)
+            seen = out.radii > 0
+            max_r = jnp.where(
+                seen, jnp.maximum(out.radii.astype(st.max_2d_radius.dtype),
+                                  st.max_2d_radius), st.max_2d_radius)
+            st = st._replace(max_2d_radius=max_r)
 
-        # opacity reset (update_params_and_optimizer: param replaced and
-        # its Adam moments zeroed, slam_external.py:183-186)
-        if pc.reset_opacities:
-            do_reset = (it > 0) & (it % max(pc.reset_opacities_every, 1) == 0)
-            reset_val = jnp.log(jnp.asarray(0.01 / 0.99, jnp.float32))
-            new_op = jnp.where(do_reset,
-                               jnp.full_like(st.params.logit_opacities,
-                                             reset_val),
-                               st.params.logit_opacities)
-            st = st._replace(params=st.params._replace(logit_opacities=new_op))
-            zmu = jnp.where(do_reset, jnp.zeros_like(opt.mu.logit_opacities),
-                            opt.mu.logit_opacities)
-            znu = jnp.where(do_reset, jnp.zeros_like(opt.nu.logit_opacities),
-                            opt.nu.logit_opacities)
-            opt = opt._replace(mu=opt.mu._replace(logit_opacities=zmu),
-                               nu=opt.nu._replace(logit_opacities=znu))
+            # prune (before the optimizer step, splatam.py:1461-1467)
+            remove = _prune_mask(st.params, st.alive, st.scene_radius, it,
+                                 pc)
+            st = st._replace(alive=st.alive & ~remove)
 
-        new_params, opt = optim.step(st.params, grads, opt, lrs,
-                                     eps=mcfg.eps)
-        new_params = _col_major(new_params)
-        opt = opt._replace(mu=_col_major(opt.mu), nu=_col_major(opt.nu))
-        st = st._replace(params=new_params)
-        log = jnp.stack([out.loss, out.im, out.depth, out.flat, out.iso,
-                         out.mean_density, out.mask_frac])
-        return (st, opt), log
+            # opacity reset (update_params_and_optimizer: param replaced
+            # and its Adam moments zeroed, slam_external.py:183-186)
+            if pc.reset_opacities:
+                do_reset = ((it > 0)
+                            & (it % max(pc.reset_opacities_every, 1) == 0))
+                reset_val = jnp.log(jnp.asarray(0.01 / 0.99, jnp.float32))
+                new_op = jnp.where(do_reset,
+                                   jnp.full_like(st.params.logit_opacities,
+                                                 reset_val),
+                                   st.params.logit_opacities)
+                st = st._replace(
+                    params=st.params._replace(logit_opacities=new_op))
+                zmu = jnp.where(do_reset,
+                                jnp.zeros_like(opt.mu.logit_opacities),
+                                opt.mu.logit_opacities)
+                znu = jnp.where(do_reset,
+                                jnp.zeros_like(opt.nu.logit_opacities),
+                                opt.nu.logit_opacities)
+                opt = opt._replace(mu=opt.mu._replace(logit_opacities=zmu),
+                                   nu=opt.nu._replace(logit_opacities=znu))
+
+            new_params, opt = optim.step(st.params, grads, opt, lrs,
+                                         eps=mcfg.eps)
+            new_params = _col_major(new_params)
+            opt = opt._replace(mu=_col_major(opt.mu), nu=_col_major(opt.nu))
+            st = st._replace(params=new_params)
+            log = jnp.stack([out.loss, out.im, out.depth, out.flat, out.iso,
+                             out.mean_density, out.mask_frac])
+            return (st, opt), log
+
+        return body
 
     opt0 = optim.init(state.params, lazy=subsample and mcfg.lazy_adam)
     its = jnp.arange(mcfg.num_iters, dtype=jnp.int32)
@@ -419,8 +458,17 @@ def map_frame(state: MapState,
     # (drives the per-slot tile-chunk cycling; [num_iters]^2 is tiny)
     eq = iter_slots[:, None] == iter_slots[None, :]
     visits = jnp.sum(jnp.tril(eq, k=-1), axis=1).astype(jnp.int32)
-    (state, _), loss_log = jax.lax.scan(
-        body, (state, opt0), (iter_slots, keys, its, visits))
+    (state, opt1), loss_log = jax.lax.scan(
+        make_body(loss_fn), (state, opt0),
+        (iter_slots[:n_sub], keys[:n_sub], its[:n_sub], visits[:n_sub]))
+    if polish:
+        # closing exact iterations: same optimizer state, same frozen
+        # binnings, full-image loss (see MappingConfig.exact_polish_iters)
+        (state, _), log_pol = jax.lax.scan(
+            make_body(loss_fn_exact), (state, opt1),
+            (iter_slots[n_sub:], keys[n_sub:], its[n_sub:],
+             visits[n_sub:]))
+        loss_log = jnp.concatenate([loss_log, log_pol])
     return state, loss_log, bin_stats
 
 

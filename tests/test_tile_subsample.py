@@ -345,6 +345,72 @@ def test_map_frame_force_subset_sub1_tracks_exact():
     np.testing.assert_allclose(lf, le, rtol=2e-3)
 
 
+def test_map_frame_exact_polish():
+    """mapping.exact_polish_iters: (a) with polish == num_iters the
+    subsampled map_frame IS the exact path (every iteration runs the
+    full-image loss with the same keys and binnings — losses must match
+    to f32 noise); (b) a sub4 phase with a 2-iteration exact tail runs,
+    stays finite, and ends with full-image losses (mask_frac column
+    reports the whole image, not a stripe)."""
+    from isogs_slam_tpu.core import gaussians as G
+    from isogs_slam_tpu.slam.mapping import (MappingConfig, PruneConfig,
+                                             map_frame)
+    cam = _cam()
+    params, alive = _scene()
+    rcfg = RasterConfig(backend="xla", bwd_mode="scatter")
+    gt_im, gt_depth = _gt(cam, params, alive, rcfg)
+    n = params.means3d.shape[0]
+    cap = 1024
+    pad = cap - n
+    padp = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), params)
+
+    def mk_state():
+        return G.MapState(
+            params=jax.tree.map(jnp.array, padp),
+            alive=jnp.concatenate([alive, jnp.zeros(pad, bool)]),
+            hwm=jnp.asarray(n, jnp.int32),
+            timestep=jnp.zeros(cap, jnp.float32),
+            max_2d_radius=jnp.zeros(cap, jnp.float32),
+            means2d_grad_accum=jnp.zeros(cap, jnp.float32),
+            denom=jnp.zeros(cap, jnp.float32),
+            scene_radius=jnp.asarray(4.0, jnp.float32))
+
+    lcfg = _lcfg(w_im=0.5)._replace(calc_iso=False, w_iso=0.0)
+    base = MappingConfig(
+        num_iters=8, lr_means3d=0.0001, lr_rgb_colors=0.0025,
+        lr_unnorm_rotations=0.001, lr_logit_opacities=0.05,
+        lr_log_scales=0.001,
+        prune=PruneConfig(False, 0, 0, 20, 20, 0.005, 0.005, False, 500))
+    kf_colors = (np.asarray(gt_im).transpose(1, 2, 0) * 255).astype(
+        np.uint8)[None]
+    kf_depths = np.asarray(gt_depth)[0][None]
+    args = (jnp.asarray(kf_colors), jnp.asarray(kf_depths),
+            jnp.asarray([[1., 0, 0, 0]]), jnp.zeros((1, 3)),
+            jnp.zeros(base.num_iters, jnp.int32),
+            jax.random.split(jax.random.PRNGKey(0), base.num_iters),
+            cam, rcfg, lcfg)
+    # (a) all-polish == exact
+    _, log_p, _ = map_frame(mk_state(), *args,
+                            base._replace(tile_subsample=2,
+                                          exact_polish_iters=8))
+    _, log_e, _ = map_frame(mk_state(), *args, base)
+    np.testing.assert_allclose(np.asarray(log_p[:, 0]),
+                               np.asarray(log_e[:, 0]), rtol=1e-6)
+    # (b) sub4 + 2-iteration exact tail
+    _, log_t, _ = map_frame(mk_state(), *args,
+                            base._replace(tile_subsample=4,
+                                          exact_polish_iters=2))
+    lt = np.asarray(log_t[:, 0])
+    assert np.isfinite(lt).all()
+    assert lt[-1] < lt[0]
+    # the tail iterations report full-image losses: their im-loss scale
+    # matches the exact run's tail, not the stripe runs'
+    np.testing.assert_allclose(lt[-1], np.asarray(log_e[:, 0])[-1],
+                               rtol=0.25)
+
+
 @pytest.mark.smoke
 def test_stripe_cycle_covers_all_rows_each_cycle():
     """Epoch-cycled stripe selection: within every cycle of n_stripes
