@@ -70,9 +70,18 @@ quality_run mapsub4_pol4 "$A/full_res_mapsub4_pol4.py" \
 quality_run noreg "$A/full_res_noreg.py" synthetic_room_fullres_noreg_0
 quality_run mapsub4_pol8 "$A/full_res_mapsub4_pol8.py" \
     synthetic_room_fullres_mapsub4pol8_0
+# per-tile compositing-cap truncation adjudication (~6% true isects
+# dropped at 512; the reference composites all)
+quality_run kcap "$A/full_res_kcap.py" synthetic_room_fullres_kcap_0
 
 BENCH_TILE_SUBSAMPLE=4 BENCH_MAP_POLISH=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_sub4_pol4 1500 python bench.py
+
+# post-margin-0 cost attribution: exact mapping phase + exact tracking
+run profile_map_exact 2000 python -m isogs_slam_tpu.tools.profile_map \
+    --phases 2 --top 25
+run profile_track_exact 2000 python -m isogs_slam_tpu.tools.profile_map \
+    --track --top 25
 
 rm -f /tmp/tpu_chain.pid
 echo "== chain done ($(date +%H:%M:%S)); results in $OUT"

@@ -80,6 +80,18 @@ def main(argv=None) -> int:
     t_first = time.perf_counter() - t0
     print(f"first call (compile + run): {t_first:.1f}s, "
           f"overflow={int(ovf)}")
+    # demand-driven capacity, same contract as the raster isect cap: a
+    # truncated density pass under-reports density near block borders
+    # (chain r3s3 measured 1.18M dropped at 4M cap / 500k flakes)
+    while int(ovf) > 0:
+        max_isect = int((max_isect + int(ovf)) * 1.25)
+        print(f"overflow {int(ovf)}: growing max_isect -> "
+              f"{max_isect / 1e6:.1f}M (recompiling)")
+        t0 = time.perf_counter()
+        dens, ovf = density_grid(*a, spec, max_isect=max_isect,
+                                 block_chunk=args.block_chunk)
+        dens.block_until_ready()
+        t_first = time.perf_counter() - t0
 
     ts = []
     for _ in range(args.reps):
