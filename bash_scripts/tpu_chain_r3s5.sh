@@ -1,15 +1,17 @@
 #!/usr/bin/env bash
-# Round-3 session-4 chain #2 (strictly serial, ONE chip): the exact-tail
-# polish ladder + the regularizer-free SplaTAM-parity quality run.
+# Round-3 session-4 chain #2 (strictly serial, ONE chip).
 #   nohup bash bash_scripts/tpu_chain_r3s5.sh > /tmp/chain_r3s5.log 2>&1 &
 #
-# Queue (NOTES.md round-3 session 4):
-#   mapsub4_pol4 — sub4 + 4 exact closing iters (stripe-staleness fix;
-#                  13 exact-iter-equivalents vs 40)
-#   mapsub4_pol8 — deeper tail ladder point (16 equivalents)
-#   noreg        — flat=0/iso=0, sil 0.99: the reference's own headline
-#                  regime (BASELINE.md numbers are SplaTAM-baseline)
-#   bench_sub4_pol4 — bench with the polish fast mode
+# The it40/60/80 sub4 ladder came out NON-MONOTONE (2.35 / 3.24 / 1.48):
+# 30-frame tracked ATE is chaos-dominated at the 1.5-3 cm scale, so
+# single runs cannot adjudicate the <=1.39 contract. This chain:
+#   noreg          — flat=0/iso=0 SplaTAM-parity run (expected LARGE
+#                    effect; BASELINE.md's 0.28 cm is measured this way)
+#   exact  x3 seeds — control + the chaos noise scale
+#   pol4   x3 seeds — sub4 + 4 exact closing iters (stripe-staleness fix)
+#   kcap            — per-tile cap truncation adjudication (~6% dropped)
+#   bench_sub4_pol4 — throughput of the polish fast mode
+#   profiles        — post-margin-0 exact map/track cost attribution
 set -u
 cd "$(dirname "$0")/.."
 
@@ -25,15 +27,6 @@ x = jnp.ones((1024, 1024))
 (x @ x).block_until_ready()
 EOF
 }
-
-# wait for any in-flight chain to finish (ONE chip) — chains write a pid
-# file while active
-while [ -f /tmp/tpu_chain.pid ] && kill -0 "$(cat /tmp/tpu_chain.pid)" \
-        2>/dev/null; do
-    echo "== another chain active (pid $(cat /tmp/tpu_chain.pid)); sleep 300"
-    sleep 300
-done
-echo $$ > /tmp/tpu_chain.pid
 
 n=0
 until probe; do
@@ -52,11 +45,11 @@ run() { # run <name> <timeout_s> <cmd...>
     echo "== [$name] exit $rc" | tee -a "$OUT/log.txt"
 }
 
-quality_run() { # quality_run <name> <config> <sequence>
-    local name="$1" cfg="$2" seq="$3"
+quality_run() { # quality_run <name> <config> <sequence> [extra --set args]
+    local name="$1" cfg="$2" seq="$3"; shift 3
     rm -rf "experiments/Synthetic/${seq}"
     run "$name" 4000 python -m isogs_slam_tpu.scripts.splatam "$cfg" \
-        --end-at 30
+        --end-at 30 "$@"
     cp "experiments/Synthetic/${seq}/eval/eval_summary.json" \
        "$OUT/${name}_eval_summary.json" 2>/dev/null || true
     cp "experiments/Synthetic/${seq}/runtime_stats.json" \
@@ -64,26 +57,39 @@ quality_run() { # quality_run <name> <config> <sequence>
 }
 
 A=isogs_slam_tpu/configs/synthetic/ablations
+F=isogs_slam_tpu/configs/synthetic/full_res.py
 
-quality_run mapsub4_pol4 "$A/full_res_mapsub4_pol4.py" \
-    synthetic_room_fullres_mapsub4pol4_0
+# 1. the SplaTAM-parity regime (large expected effect)
 quality_run noreg "$A/full_res_noreg.py" synthetic_room_fullres_noreg_0
-quality_run mapsub4_pol8 "$A/full_res_mapsub4_pol8.py" \
-    synthetic_room_fullres_mapsub4pol8_0
-# per-tile compositing-cap truncation adjudication (~6% true isects
-# dropped at 512; the reference composites all)
+
+# 2. chaos noise scale: exact control at 3 seeds
+quality_run exact_s0 "$F" synthetic_room_fullres_0
+quality_run exact_s1 "$F" abl_exact_s1 \
+    --set seed=1 --set run_name=abl_exact_s1
+quality_run exact_s2 "$F" abl_exact_s2 \
+    --set seed=2 --set run_name=abl_exact_s2
+
+# 3. polish fast mode at 3 seeds
+quality_run pol4_s0 "$A/full_res_mapsub4_pol4.py" \
+    synthetic_room_fullres_mapsub4pol4_0
+quality_run pol4_s1 "$A/full_res_mapsub4_pol4.py" abl_pol4_s1 \
+    --set seed=1 --set run_name=abl_pol4_s1
+quality_run pol4_s2 "$A/full_res_mapsub4_pol4.py" abl_pol4_s2 \
+    --set seed=2 --set run_name=abl_pol4_s2
+
+# 4. per-tile compositing-cap truncation (~6% true isects dropped at 512)
 quality_run kcap "$A/full_res_kcap.py" synthetic_room_fullres_kcap_0
 
+# 5. throughput of the polish fast mode
 BENCH_TILE_SUBSAMPLE=4 BENCH_MAP_POLISH=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
     run bench_sub4_pol4 1500 python bench.py
 
-# post-margin-0 cost attribution: exact mapping phase + exact tracking
-run profile_map_exact 2000 python -m isogs_slam_tpu.tools.profile_map \
+# 6. post-margin-0 cost attribution
+run profile_map_exact 2400 python -m isogs_slam_tpu.tools.profile_map \
     --phases 2 --top 25
-run profile_track_exact 2000 python -m isogs_slam_tpu.tools.profile_map \
+run profile_track_exact 2400 python -m isogs_slam_tpu.tools.profile_map \
     --track --top 25
 
-rm -f /tmp/tpu_chain.pid
 echo "== chain done ($(date +%H:%M:%S)); results in $OUT"
 grep -h '"metric"' "$OUT"/bench_*.txt 2>/dev/null
 grep -H 'Final Average ATE\|Average PSNR' "$OUT"/*_eval_summary.json \
