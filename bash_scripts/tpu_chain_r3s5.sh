@@ -77,7 +77,17 @@ quality_run pol4_s1 "$A/full_res_mapsub4_pol4.py" abl_pol4_s1 \
 quality_run pol4_s2 "$A/full_res_mapsub4_pol4.py" abl_pol4_s2 \
     --set seed=2 --set run_name=abl_pol4_s2
 
-# 4. per-tile compositing-cap truncation (~6% true isects dropped at 512)
+# 4. Polyak pose-EMA at 3 seeds (single-frame probe: 1.17 -> 0.33 mm
+# vs best-candidate at zero extra renders; variance cut, not metric
+# descent, so the fan's gauge-drift mechanism does not apply)
+quality_run polyak_s0 "$A/full_res_polyak.py" \
+    synthetic_room_fullres_polyak_0
+quality_run polyak_s1 "$A/full_res_polyak.py" abl_polyak_s1 \
+    --set seed=1 --set run_name=abl_polyak_s1
+quality_run polyak_s2 "$A/full_res_polyak.py" abl_polyak_s2 \
+    --set seed=2 --set run_name=abl_polyak_s2
+
+# 5. per-tile compositing-cap truncation (~6% true isects dropped at 512)
 quality_run kcap "$A/full_res_kcap.py" synthetic_room_fullres_kcap_0
 
 # 5. throughput of the polish fast mode

@@ -106,7 +106,8 @@ def make_tracking_frame_sharded(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
 
         final = adam_pose_loop(None, (q0, t0), tcfg,
                                value_and_grad_fn=value_and_grad_fn)
-        bq, bt = final.best_pose
+        bq, bt = (final.polyak_pose() if tcfg.polyak_rho > 0
+                  else final.best_pose)
         return bq, bt, final.it, final.log
 
     sharded = shard_map(

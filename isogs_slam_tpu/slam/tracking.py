@@ -133,6 +133,18 @@ class TrackingConfig(NamedTuple):
     # fan step seeds; 0 = derive from the lrs (the bounce scale)
     fan_trans_eps: float = 0.0
     fan_quat_eps: float = 0.0
+    # Polyak (EMA) tail averaging of the pose iterates (0 = off =
+    # reference parity): return the bias-corrected exponential moving
+    # average of the Adam pose trajectory (decay rho per iteration)
+    # instead of the best-candidate pose. With L1 losses Adam bounces
+    # around the optimum at lr scale; averaging the iterates cancels the
+    # bounce VARIANCE (~sqrt(window) tighter) without descending the
+    # biased tracking loss any further — the opposite failure mode of
+    # the fan/GN family, which over-optimized the metric and absorbed
+    # map error into the pose (gauge drift, NOTES.md round-3 session 3).
+    # EMA weight on the quat is linear in the unnormalized coefficients
+    # (iterates stay in one hemisphere within a frame).
+    polyak_rho: float = 0.0
 
 
 class TrackResult(NamedTuple):
@@ -254,6 +266,15 @@ class PoseLoopState(NamedTuple):
     doubled: jnp.ndarray
     done: jnp.ndarray
     log: jnp.ndarray
+    # Polyak tail (tcfg.polyak_rho > 0): unnormalized EMA of the pose
+    # iterates + its weight sum (bias correction divisor)
+    ema: tuple = ()
+    ema_w: jnp.ndarray | None = None
+
+    def polyak_pose(self) -> tuple:
+        """Bias-corrected EMA pose (only valid when polyak_rho > 0)."""
+        w = jnp.maximum(self.ema_w, 1e-20)
+        return jax.tree.map(lambda e: e / w, self.ema)
 
 
 def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
@@ -283,7 +304,9 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
         it=jnp.zeros((), jnp.int32),
         cur_max=jnp.asarray(tcfg.num_iters, jnp.int32),
         doubled=jnp.zeros((), bool), done=jnp.zeros((), bool),
-        log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32))
+        log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32),
+        ema=jax.tree.map(jnp.zeros_like, pose0),
+        ema_w=jnp.zeros((), jnp.float32))
 
     def cond(c: PoseLoopState):
         return ~c.done
@@ -323,10 +346,17 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
             done = at_limit
             cur_max = c.cur_max
             doubled = c.doubled
+        if tcfg.polyak_rho > 0:
+            rho = jnp.float32(tcfg.polyak_rho)
+            ema = jax.tree.map(lambda e, p: rho * e + (1 - rho) * p,
+                               c.ema, new_pose)
+            ema_w = rho * c.ema_w + (1 - rho)
+        else:
+            ema, ema_w = c.ema, c.ema_w
         return PoseLoopState(pose=new_pose, opt=new_opt,
                              best_pose=best_pose, min_loss=min_loss, it=it,
                              cur_max=cur_max, doubled=doubled, done=done,
-                             log=log)
+                             log=log, ema=ema, ema_w=ema_w)
 
     return jax.lax.while_loop(cond, body, init)
 
@@ -416,7 +446,8 @@ def track_frame(params: GaussianParams, alive: jnp.ndarray,
                 return out.loss, out
 
     final = adam_pose_loop(loss_fn, (init_quat, init_trans), tcfg)
-    best_q, best_t = final.best_pose
+    best_q, best_t = (final.polyak_pose() if tcfg.polyak_rho > 0
+                      else final.best_pose)
     gn_accepted = jnp.asarray(-1, jnp.int32)
 
     if tcfg.fan_rounds > 0:
