@@ -597,6 +597,10 @@ def track_frame_pyramid(params: GaussianParams, alive: jnp.ndarray,
         tcfg_k = tcfg._replace(num_iters=coarse_iters, pyramid_levels=1,
                                use_depth_loss_thres=False, gn_iters=0,
                                fan_rounds=0,
+                               # coarse passes are still CONVERGING (not
+                               # bouncing): an EMA would lag the handoff
+                               # pose — Polyak applies at full res only
+                               polyak_rho=0.0,
                                lr_quat=tcfg.lr_quat * lr_k,
                                lr_trans=tcfg.lr_trans * lr_k)
         res = track_fn(params, alive, q, t, im_k, d_k, cam_k, rcfg,
