@@ -315,15 +315,36 @@ def compute_density(params_np: dict, voxel_size: float = 0.02,
     nd = min(int(shard_devices), len(jax.devices()))
     fn = (functools.partial(density_grid_sharded, n_devices=nd) if nd > 1
           else density_grid)
-    dens, overflow = fn(
-        jnp.asarray(means),
-        jnp.asarray(params_np["log_scales"], jnp.float32),
-        jnp.asarray(params_np["unnorm_rotations"], jnp.float32),
-        jnp.asarray(params_np["logit_opacities"], jnp.float32),
-        jnp.ones((n,), bool), spec, max_isect,
-        max_per_block=max_per_block, truncate_sigma=truncate_sigma,
-        min_scale=max(1e-5, min_scale_limit))
+    args = (jnp.asarray(means),
+            jnp.asarray(params_np["log_scales"], jnp.float32),
+            jnp.asarray(params_np["unnorm_rotations"], jnp.float32),
+            jnp.asarray(params_np["logit_opacities"], jnp.float32),
+            jnp.ones((n,), bool))
+    min_scale = max(1e-5, min_scale_limit)
+    dens, overflow = fn(*args, spec, max_isect,
+                        max_per_block=max_per_block,
+                        truncate_sigma=truncate_sigma, min_scale=min_scale)
+    # demand-driven capacity (same contract as the raster isect cap):
+    # truncated block lists under-report density near block borders and
+    # the marching pass then opens seams there — pay a recompile instead
+    # (the density pass itself is ~0.5 s steady-state at 500k). The
+    # scalar overflow conflates expansion-slot (max_isect) and per-block
+    # (max_per_block) truncation, so grow both geometrically; bounded in
+    # case the scene genuinely cannot fit.
+    for _ in range(6):
+        if int(overflow) <= 0:
+            break
+        max_isect = (int((max_isect + int(overflow)) * 1.25) + 1023) \
+            // 1024 * 1024
+        max_per_block = max_per_block * 2
+        print(f"[mesh] {int(overflow)} block-candidate slots overflowed; "
+              f"growing max_isect -> {max_isect}, max_per_block -> "
+              f"{max_per_block} (recompiling)")
+        dens, overflow = fn(*args, spec, max_isect,
+                            max_per_block=max_per_block,
+                            truncate_sigma=truncate_sigma,
+                            min_scale=min_scale)
     if int(overflow) > 0:
-        print(f"[mesh] WARNING: {int(overflow)} block-candidate slots "
-              f"overflowed (raise max_per_block / isect_per_gaussian)")
+        print(f"[mesh] WARNING: {int(overflow)} slots still overflow "
+              f"after growth; density is truncated near block borders")
     return np.asarray(dens), spec
