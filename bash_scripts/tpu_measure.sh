@@ -39,26 +39,32 @@ quality_run() { # quality_run <name> <config> — full_res-style 30-frame run
 }
 
 quality_battery() {
+    # NOTE (round-3 session 4): 30-frame tracked ATE is chaos-dominated
+    # at the 1.5-3 cm scale — adjudicate configs on multi-seed MEDIANS
+    # (tools/seed_stats.py), not these single runs. Dead attacks removed:
+    # fan3 (3.64 — gauge drift), track_coarse (17.5), lazy sub4 (6.88),
+    # vmap_bins (slower); see NOTES.md + README knob table.
     A=isogs_slam_tpu/configs/synthetic/ablations
     quality_run full_res isogs_slam_tpu/configs/synthetic/full_res.py \
         synthetic_room_fullres_0
-    # stripe-estimator regression gate: the subset loss path at sub=1 is
-    # now loss-equivalent to the exact path; expect ATE ~= full_res's
-    # (the old per-tile valid-window estimator measured 2.14 vs 1.22)
+    # stripe-estimator regression gate (expect ~= full_res control)
     quality_run mapsub1f "$A/full_res_mapsub1_forced.py" \
         synthetic_room_fullres_mapsub1f_0
-    # fast-mapping contract check at sub4 stripes (cycled)
-    quality_run mapsub4 "$A/full_res_mapsub4.py" \
-        synthetic_room_fullres_mapsub_0
-    # round-3 sub-cm tracking attack: forward-only perturbation fan
-    quality_run fan3 "$A/full_res_fan3.py" \
-        synthetic_room_fullres_fan3_0
-    # tracking throughput: most iterations at the coarse pyramid level
-    quality_run track_coarse "$A/full_res_track_coarse.py" \
-        synthetic_room_fullres_trackcoarse_0
+    # production fast-mode candidates: mapsub2+track4 (PASSED the
+    # contract 2026-08-19: ATE 1.208 / PSNR 20.62 vs exact 1.26/20.35)
+    # and sub4 + 4 exact closing iters
+    quality_run fast2 "$A/full_res_fast2.py" synthetic_room_fullres_fast2_0
+    quality_run pol4 "$A/full_res_mapsub4_pol4.py" \
+        synthetic_room_fullres_mapsub4pol4_0
+    # tracking pose-EMA (single-frame probe: 1.17 -> 0.33 mm)
+    quality_run polyak "$A/full_res_polyak.py" \
+        synthetic_room_fullres_polyak_0
+    # SplaTAM-parity regime (BASELINE.md's 0.28 cm is measured iso-free)
+    quality_run noreg "$A/full_res_noreg.py" synthetic_room_fullres_noreg_0
     echo "== quality battery done"
-    grep -H '"Final Average ATE\|"Average PSNR' \
-        "$OUT"/*_eval_summary.json 2>/dev/null || true
+    PYTHONPATH= python -m isogs_slam_tpu.tools.seed_stats "$OUT" || \
+        grep -H '"Final Average ATE\|"Average PSNR' \
+            "$OUT"/*_eval_summary.json 2>/dev/null || true
 }
 
 if [ "$MODE" = "quality" ]; then
@@ -78,17 +84,13 @@ fi
 # cap — the honest protocol from b92aeb7)
 run bench_exact 1200 python bench.py
 
-# 2. fast modes (opt-in): stripe-cycled mapping subset, then tracking
-# subset too
-BENCH_TILE_SUBSAMPLE=4 run bench_sub4 1500 python bench.py
-BENCH_TILE_SUBSAMPLE=8 run bench_sub8 1500 python bench.py
-BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_sub4_track4 1500 python bench.py
-
-# 2b. vmapped per-slot phase binning A/B (mapping.vmap_bins)
-BENCH_VMAP_BINS=1 run bench_exact_vb 1500 python bench.py
-BENCH_VMAP_BINS=1 BENCH_TILE_SUBSAMPLE=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
-    run bench_sub4_track4_vb 1500 python bench.py
+# 2. fast modes (opt-in): contract-passing fast2 (mapsub2 + track4),
+# plus the sub4 polish ladder. vmap_bins A/B DECIDED 2026-08-19: exact
+# 0.873 vs 0.923 serial — removed from the sequence.
+BENCH_TILE_SUBSAMPLE=2 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_fast2 1500 python bench.py
+BENCH_TILE_SUBSAMPLE=4 BENCH_MAP_POLISH=4 BENCH_TRACK_TILE_SUBSAMPLE=4 \
+    run bench_sub4_pol4 1500 python bench.py
 
 if [ "$MODE" = "full" ]; then
     # 3. mapping fixed-cost profile
