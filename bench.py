@@ -271,14 +271,16 @@ def main():
         },
     }
 
-    # production fast mode (mapping sub4 epoch-cycled + tracking sub4),
-    # measured in the same process on the same evolved map and recorded
-    # in detail — the headline metric stays exact reference semantics.
-    # Quality contract (full_res, 30 frames): PSNR 19.61 vs exact 19.92,
-    # depth L1 3.43 vs 3.58, ATE 2.82 vs 1.22 cm (NOTES.md session 8).
+    # production fast-mode candidate (mapping sub4 stripe-cycled + a
+    # 4-iteration exact full-image tail + tracking sub4), measured in the
+    # same process on the same evolved map and recorded in detail — the
+    # headline metric stays exact reference semantics. The exact tail
+    # re-anchors every pixel to the final params (stripe-staleness fix);
+    # quality contract adjudication is multi-seed (tools/seed_stats.py,
+    # NOTES.md round-3: 30-frame tracked ATE is chaos-dominated).
     if (int(os.environ.get("BENCH_ALSO_FAST", 1)) and tile_sub == 1
             and tcfg.tile_subsample == 1 and n_frames >= map_every):
-        mcfg = mcfg._replace(tile_subsample=4)
+        mcfg = mcfg._replace(tile_subsample=4, exact_polish_iters=4)
         tcfg = tcfg._replace(tile_subsample=4)
         state = run_frame(map_every - 1, state, None)   # compile fast mode
         state = run_frame(1, state, None)
@@ -289,7 +291,8 @@ def main():
             state = run_frame(i, state, ft)
         felapsed = time.perf_counter() - tf0
         result["detail"]["fast_mode_fps"] = round(n_frames / felapsed, 4)
-        result["detail"]["fast_mode"] = "map sub4 cycle + track sub4"
+        result["detail"]["fast_mode"] = (
+            "map sub4 cycle + 4 exact tail iters + track sub4")
 
     print(json.dumps(result))
 
