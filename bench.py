@@ -94,7 +94,8 @@ def main():
         calc_iso=True, knn_block=8192)
     tcfg = TrackingConfig(
         num_iters=track_iters, lr_quat=0.0004, lr_trans=0.002,
-        tile_subsample=int(os.environ.get("BENCH_TRACK_TILE_SUBSAMPLE", 1)))
+        tile_subsample=int(os.environ.get("BENCH_TRACK_TILE_SUBSAMPLE", 1)),
+        early_stop_patience=int(os.environ.get("BENCH_TRACK_PATIENCE", 0)))
     track_bins = (BinningReuse(cam, rcfg_track,
                                margin_px=tcfg.cross_frame_margin_px,
                                slack_px=tcfg.bin_margin_px)

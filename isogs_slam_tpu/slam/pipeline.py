@@ -202,6 +202,7 @@ def _tracking_cfg(config) -> TrackingConfig:
         fan_trans_eps=t.get("fan_trans_eps", 0.0),
         fan_quat_eps=t.get("fan_quat_eps", 0.0),
         polyak_rho=float(t.get("polyak_rho", 0.0)),
+        early_stop_patience=int(t.get("early_stop_patience", 0)),
         bin_margin_px=t.get("bin_margin_px", 8.0),
         rebin_every_iter=t.get("rebin_every_iter", False),
         reuse_binning=t.get("reuse_binning", True),

@@ -145,6 +145,16 @@ class TrackingConfig(NamedTuple):
     # EMA weight on the quat is linear in the unnormalized coefficients
     # (iterates stay in one hemisphere within a frame).
     polyak_rho: float = 0.0
+    # Early stop (0 = off = reference parity): exit the Adam loop when
+    # the best-candidate metric has not improved for this many
+    # consecutive iterations. Pure throughput: the returned pose is the
+    # best-so-far candidate either way, and once the metric stalls the
+    # remaining iterations are lr-scale bounce that best-candidate
+    # selection discards. lax.while_loop's trip count is data-dependent,
+    # so stopped iterations are real wall-clock savings on easy frames
+    # (slow motion, converged maps). Takes precedence over the
+    # depth_loss_thres doubling rule when both would fire.
+    early_stop_patience: int = 0
 
 
 class TrackResult(NamedTuple):
@@ -270,6 +280,9 @@ class PoseLoopState(NamedTuple):
     # iterates + its weight sum (bias correction divisor)
     ema: tuple = ()
     ema_w: jnp.ndarray | None = None
+    # iteration index of the last best-candidate improvement (drives
+    # tcfg.early_stop_patience)
+    best_it: jnp.ndarray | None = None
 
     def polyak_pose(self) -> tuple:
         """Bias-corrected EMA pose (only valid when polyak_rho > 0)."""
@@ -306,7 +319,8 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
         doubled=jnp.zeros((), bool), done=jnp.zeros((), bool),
         log=jnp.full((max_iters, N_LOG), jnp.nan, jnp.float32),
         ema=jax.tree.map(jnp.zeros_like, pose0),
-        ema_w=jnp.zeros((), jnp.float32))
+        ema_w=jnp.zeros((), jnp.float32),
+        best_it=jnp.zeros((), jnp.int32))
 
     def cond(c: PoseLoopState):
         return ~c.done
@@ -335,6 +349,7 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
             [out.loss, out.im, out.depth, out.flat, out.iso,
              out.mean_density, out.mask_frac]))
         it = c.it + 1
+        best_it = jnp.where(improved, c.it, c.best_it)
         at_limit = it >= c.cur_max
         if tcfg.use_depth_loss_thres:
             below = out.depth < tcfg.depth_loss_thres
@@ -346,6 +361,11 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
             done = at_limit
             cur_max = c.cur_max
             doubled = c.doubled
+        if tcfg.early_stop_patience > 0:
+            # it-1 is the index just evaluated; stall = patience
+            # consecutive evaluated iterations without a new best
+            done = done | ((it - 1 - best_it)
+                           >= jnp.int32(tcfg.early_stop_patience))
         if tcfg.polyak_rho > 0:
             rho = jnp.float32(tcfg.polyak_rho)
             ema = jax.tree.map(lambda e, p: rho * e + (1 - rho) * p,
@@ -356,7 +376,7 @@ def adam_pose_loop(loss_fn, pose0: tuple, tcfg: TrackingConfig,
         return PoseLoopState(pose=new_pose, opt=new_opt,
                              best_pose=best_pose, min_loss=min_loss, it=it,
                              cur_max=cur_max, doubled=doubled, done=done,
-                             log=log, ema=ema, ema_w=ema_w)
+                             log=log, ema=ema, ema_w=ema_w, best_it=best_it)
 
     return jax.lax.while_loop(cond, body, init)
 
