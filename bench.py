@@ -35,7 +35,14 @@ import jax.numpy as jnp
 from isogs_slam_tpu.utils.common import (acquire_tpu_lock,
                                           enable_compilation_cache)
 
-acquire_tpu_lock()
+# Bound the lock wait well below any plausible outer `timeout` wrapper:
+# the round-3 driver bench died rc=124 after silently waiting an hour for
+# a measurement chain to release the chip. 900 s rides out a normal
+# chain step; after that we proceed UNSERIALIZED with a loud warning and
+# record it in the result JSON so a corrupted number is distinguishable
+# from a clean one. Override with ISOGS_TPU_LOCK_TIMEOUT.
+LOCK_ACQUIRED = acquire_tpu_lock(
+    timeout_s=float(os.environ.get("ISOGS_TPU_LOCK_TIMEOUT", 900)))
 enable_compilation_cache()
 
 REFERENCE_FPS = 0.133
@@ -271,6 +278,10 @@ def main():
             "device": str(jax.devices()[0].platform),
         },
     }
+    if not LOCK_ACQUIRED:
+        # another TPU process overlapped this measurement — see the
+        # lock-timeout note at import time
+        result["detail"]["tpu_lock_acquired"] = False
 
     # production fast-mode candidate (mapping sub4 stripe-cycled + a
     # 4-iteration exact full-image tail + tracking sub4), measured in the
@@ -281,7 +292,12 @@ def main():
     # NOTES.md round-3: 30-frame tracked ATE is chaos-dominated).
     if (int(os.environ.get("BENCH_ALSO_FAST", 1)) and tile_sub == 1
             and tcfg.tile_subsample == 1 and n_frames >= map_every):
-        mcfg = mcfg._replace(tile_subsample=4, exact_polish_iters=4)
+        # the fast-mode polish follows BENCH_MAP_POLISH when the user set
+        # one (so bench results stay comparable across env configs);
+        # default is the adjudication candidate's 4 exact tail iters
+        fast_polish = int(os.environ.get("BENCH_MAP_POLISH") or 4)
+        mcfg = mcfg._replace(tile_subsample=4,
+                             exact_polish_iters=fast_polish)
         tcfg = tcfg._replace(tile_subsample=4)
         state = run_frame(map_every - 1, state, None)   # compile fast mode
         state = run_frame(1, state, None)
@@ -293,7 +309,7 @@ def main():
         felapsed = time.perf_counter() - tf0
         result["detail"]["fast_mode_fps"] = round(n_frames / felapsed, 4)
         result["detail"]["fast_mode"] = (
-            "map sub4 cycle + 4 exact tail iters + track sub4")
+            f"map sub4 cycle + {fast_polish} exact tail iters + track sub4")
 
     print(json.dumps(result))
 

@@ -1,0 +1,30 @@
+"""Blame ablation: full_res with flat ONLY (flat=50, iso=0).
+
+The round-3 regularizer quality cliff: the full IsoGS regime (flat=50,
+iso=2) tracks at ATE 2.5-3.4 cm / PSNR 19.5 while the SAME pipeline with
+both regularizers off (noreg) reaches 0.149 cm / 35.1 dB. This config
+isolates the FLAT term's share. With iso=0 nothing pulls opacities down,
+the rendered silhouette saturates, and the reference-parity tracking
+threshold (0.99) is usable — so any degradation vs noreg is the flat
+term's photometric-fit trade, not the silhouette-bias mechanism (see
+LossConfig.sil_norm_render). Reference weight injection:
+python_ordinary/scripts/splatam.py:729-748."""
+import copy
+import os
+from importlib.machinery import SourceFileLoader
+
+_base = SourceFileLoader(
+    "_full_res_base",
+    os.path.join(os.path.dirname(__file__), "..", "full_res.py")
+).load_module()
+
+scene_name = "synthetic_room_fullres_flatonly"
+seed = 0
+config = copy.deepcopy(_base.config)
+config["run_name"] = f"{scene_name}_{seed}"
+config["data"]["sequence"] = scene_name
+config["mapping"]["loss_weights"] = dict(im=0.5, depth=1.0, flat=50.0,
+                                         iso=0.0)
+# no iso pull on opacities -> silhouette saturates -> reference-parity
+# tracking threshold (same reasoning as full_res_noreg.py)
+config["tracking"]["sil_thres"] = 0.99

@@ -58,6 +58,22 @@ class LossConfig(NamedTuple):
     # point spacing within a phase). 0 disables (fresh KNN per iteration,
     # exact reference semantics).
     iso_pool_size: int = 32768
+    # Silhouette-normalized render for the TRACKING loss (off = reference
+    # parity). The composited depth/RGB are UNNORMALIZED alpha sums
+    # (splatam.py renders [z,1,z^2] and never divides by the silhouette
+    # channel), so wherever the rendered silhouette s < 1 the depth
+    # estimate is biased low by exactly the factor s. The reference gets
+    # away with it because its sil>0.99 mask bounds the bias at 1% — but
+    # the IsoGS iso term pulls opacities (hence s) down toward ~0.9,
+    # which forced tracking's sil_thres to 0.5 and admits pixels whose
+    # raw composite underestimates depth by up to 2x: a systematic
+    # "scene too close" signal the tracker absorbs as pose drift every
+    # frame (the round-3 regularizer quality cliff, 2.5-3.4 cm vs 0.149
+    # noreg). Normalizing depth/rgb/z^2 by max(s, eps) makes the tracked
+    # quantity the alpha-weighted MEAN (the same fix the GN polish got in
+    # round 2), decoupling the tracking loss from regularizer-depressed
+    # opacity; at s ~ 1 it is a no-op, so it nests reference behavior.
+    sil_norm_render: bool = False
 
 
 class LossOutputs(NamedTuple):
@@ -84,6 +100,11 @@ def _photometric_terms(im, depth, silhouette, depth_sq, gt_im, gt_depth,
     masking/L1 sequence in tile space ([Ts, P, C] with a valid_px mask and
     a sum scale); test_track_subset asserts the two stay equal."""
     tracking = lcfg.tracking
+    if tracking and lcfg.sil_norm_render:
+        s = jnp.maximum(silhouette, 1e-6)[None]
+        im = im / s
+        depth = depth / s
+        depth_sq = depth_sq / s
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     presence_sil_mask = silhouette > lcfg.sil_thres
 
@@ -175,6 +196,11 @@ def compute_loss_slots_subset(raw_sub: jnp.ndarray, counts_sub,
     gt_im = gt_tiles[..., 0:3]
     gt_depth = gt_tiles[..., 3]
 
+    if lcfg.sil_norm_render:
+        s = jnp.maximum(silhouette, 1e-6)
+        im = im / s[..., None]
+        depth = depth / s
+        depth_sq = depth_sq / s
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
     nan_mask = (~jnp.isnan(depth)) & (~jnp.isnan(uncertainty))
     if lcfg.ignore_outlier_depth_loss:

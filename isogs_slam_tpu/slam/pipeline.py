@@ -107,7 +107,8 @@ def _loss_cfg_tracking(config) -> LossConfig:
         sil_thres=t["sil_thres"], use_l1=t["use_l1"],
         ignore_outlier_depth_loss=t["ignore_outlier_depth_loss"],
         w_im=w["im"], w_depth=w["depth"], w_flat=0.0, w_iso=0.0,
-        calc_iso=False)
+        calc_iso=False,
+        sil_norm_render=t.get("sil_norm_render", False))
 
 
 def _loss_cfg_mapping(config) -> LossConfig:

@@ -147,13 +147,19 @@ class TrackingConfig(NamedTuple):
     polyak_rho: float = 0.0
     # Early stop (0 = off = reference parity): exit the Adam loop when
     # the best-candidate metric has not improved for this many
-    # consecutive iterations. Pure throughput: the returned pose is the
-    # best-so-far candidate either way, and once the metric stalls the
-    # remaining iterations are lr-scale bounce that best-candidate
-    # selection discards. lax.while_loop's trip count is data-dependent,
-    # so stopped iterations are real wall-clock savings on easy frames
-    # (slow motion, converged maps). Takes precedence over the
+    # consecutive iterations. With polyak_rho == 0 this is pure
+    # throughput: the returned pose is the best-so-far candidate either
+    # way, and once the metric stalls the remaining iterations are
+    # lr-scale bounce that best-candidate selection discards.
+    # lax.while_loop's trip count is data-dependent, so stopped
+    # iterations are real wall-clock savings on easy frames (slow
+    # motion, converged maps). Takes precedence over the
     # depth_loss_thres doubling rule when both would fire.
+    # CAVEAT (unadjudicated combination): with polyak_rho > 0 the
+    # returned pose is the EMA of the iterates, and stopping early
+    # TRUNCATES the average at the stall point — the two knobs together
+    # change the returned pose, not just wall-clock. Do not enable both
+    # without a separate multi-seed quality adjudication.
     early_stop_patience: int = 0
 
 

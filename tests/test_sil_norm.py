@@ -1,0 +1,149 @@
+"""Silhouette-normalized tracking render (LossConfig.sil_norm_render).
+
+The composited depth/RGB are unnormalized alpha sums (reference
+splatam.py renders [z, 1, z^2] and never divides by the silhouette), so
+where the rendered silhouette s < 1 the raw depth underestimates the
+alpha-weighted mean depth by exactly the factor s. The IsoGS iso term
+pulls opacities (hence s) down, which is the round-3 regularizer quality
+cliff's suspected mechanism. These tests pin:
+
+  1. the normalized loss is UNBIASED at the true pose on a
+     depressed-opacity scene (raw loss is not),
+  2. sil_norm_render nests reference behavior (no-op at s ~ 1),
+  3. the slot path (tracking's production path) matches the per-gaussian
+     path with the flag on, gradients included.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isogs_slam_tpu.core.camera import Camera
+from isogs_slam_tpu.core.gaussians import GaussianParams
+from isogs_slam_tpu.ops.rasterize import (RasterConfig, bin_gaussians,
+                                          gather_raw_table,
+                                          project_gaussians,
+                                          render_rgbd_sil)
+from isogs_slam_tpu.slam.losses import (LossConfig, compute_loss,
+                                        compute_loss_slots)
+from isogs_slam_tpu.utils.transforms import transform_to_frame
+
+pytestmark = pytest.mark.smoke
+
+H, W = 48, 64
+
+
+def _setup(logit_op=0.8, seed=0, n=400):
+    rng = np.random.default_rng(seed)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+    cam = Camera.from_intrinsics(K, W, H)
+    pts = np.stack([rng.uniform(-0.8, 0.8, n), rng.uniform(-0.6, 0.6, n),
+                    rng.uniform(1.5, 2.5, n)], axis=1)
+    params = GaussianParams(
+        means3d=jnp.asarray(pts, jnp.float32),
+        rgb_colors=jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32),
+        unnorm_rotations=jnp.asarray(
+            rng.normal(size=(n, 4)) + np.array([2.0, 0, 0, 0]), jnp.float32),
+        logit_opacities=jnp.full((n, 1), logit_op, jnp.float32),
+        log_scales=jnp.full((n, 3), np.log(0.06), jnp.float32))
+    alive = jnp.ones(n, bool)
+    return cam, params, alive
+
+
+def _lcfg(norm):
+    return LossConfig(tracking=True, use_sil_for_loss=True, sil_thres=0.5,
+                      use_l1=True, ignore_outlier_depth_loss=False,
+                      w_im=0.0, w_depth=1.0, calc_iso=False,
+                      sil_norm_render=norm)
+
+
+def _render_at(cam, params, alive, quat, trans, rcfg):
+    mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                quat, trans, False, False)
+    return render_rgbd_sil(mc, qc, params.log_scales,
+                           params.logit_opacities, params.rgb_colors,
+                           alive, cam, rcfg)
+
+
+def test_normalized_depth_loss_unbiased_under_depressed_opacity():
+    """GT = the alpha-weighted mean depth of the true scene. The
+    normalized loss at the true pose is ~0; the raw loss carries the
+    (1 - s) bias on every admitted pixel."""
+    cam, params, alive = _setup(logit_op=0.6)   # sigmoid = 0.65
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    t0 = jnp.zeros(3)
+    im, d, sil, _, _ = _render_at(cam, params, alive, q0, t0, rcfg)
+    sil = np.asarray(sil)
+    # the scene must actually exercise the depressed-silhouette regime
+    assert 0.55 < np.median(sil[sil > 0.5]) < 0.98
+    gt_depth = jnp.asarray(np.asarray(d) / np.maximum(sil, 1e-6)[None])
+    gt_im = im  # unused (w_im = 0)
+
+    raw_out = compute_loss(params, alive, q0, t0, gt_im, gt_depth,
+                           cam, rcfg, _lcfg(False))
+    norm_out = compute_loss(params, alive, q0, t0, gt_im, gt_depth,
+                            cam, rcfg, _lcfg(True))
+    # the normalized estimator matches GT bit-for-bit at the true pose;
+    # the raw one pays |d - d/s| = d(1-s)/s summed over the mask
+    assert float(norm_out.loss) < 1e-3 * float(raw_out.loss)
+    assert float(raw_out.loss) > 1.0
+
+
+def test_nests_reference_behavior_at_saturated_silhouette():
+    cam, params, alive = _setup(logit_op=8.0)   # sigmoid ~ 1
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
+    rng = np.random.default_rng(1)
+    q0 = jnp.asarray([1.0, 0.0, 0.01, 0.0])
+    t0 = jnp.asarray([0.01, 0.0, 0.0])
+    gt_im = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    gt_d = jnp.asarray(rng.uniform(1.0, 3.0, (1, H, W)), jnp.float32)
+    # the REFERENCE regime: sil_thres=0.99 admits only pixels whose raw
+    # composite is within 1% of the normalized one (this is exactly why
+    # the reference gets away with the unnormalized render)
+    lcfg_raw = _lcfg(False)._replace(w_im=0.5, sil_thres=0.99)
+    lcfg_norm = _lcfg(True)._replace(w_im=0.5, sil_thres=0.99)
+    a = compute_loss(params, alive, q0, t0, gt_im, gt_d, cam, rcfg,
+                     lcfg_raw)
+    b = compute_loss(params, alive, q0, t0, gt_im, gt_d, cam, rcfg,
+                     lcfg_norm)
+    assert float(a.mask_frac) > 0.2   # the mask is actually populated
+    np.testing.assert_allclose(float(b.loss), float(a.loss), rtol=2e-2)
+
+
+def test_slot_path_matches_gaussian_path_with_norm():
+    cam, params, alive = _setup(logit_op=0.6, seed=3)
+    rcfg = RasterConfig(backend="xla", grad_scatter_bf16=False)
+    rng = np.random.default_rng(2)
+    gt_im = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    gt_d = jnp.asarray(rng.uniform(1.0, 3.0, (1, H, W)), jnp.float32)
+    lcfg = _lcfg(True)._replace(w_im=0.5)
+    q0 = jnp.asarray([1.0, 0.0, 0.02, 0.0])
+    t0 = jnp.asarray([0.01, 0.0, 0.0])
+
+    mc, qc = transform_to_frame(params.means3d, params.unnorm_rotations,
+                                q0, t0, False, False)
+    proj = project_gaussians(mc, qc, params.log_scales, alive, cam,
+                             margin_px=0.0)
+    binning = bin_gaussians(proj, cam, rcfg)
+    raw = gather_raw_table(params, binning.tile_gauss)
+    p_sg = jax.tree.map(jax.lax.stop_gradient, params)
+
+    def loss_gauss(pose):
+        return compute_loss(p_sg, alive, pose[0], pose[1], gt_im, gt_d,
+                            cam, rcfg, lcfg, binning=binning).loss
+
+    def loss_slots(pose):
+        return compute_loss_slots(raw, binning.tile_count, pose[0],
+                                  pose[1], gt_im, gt_d, cam, rcfg,
+                                  lcfg).loss
+
+    pose = (q0, t0)
+    lg, gg = jax.value_and_grad(loss_gauss)(pose)
+    ls, gs = jax.value_and_grad(loss_slots)(pose)
+    np.testing.assert_allclose(float(ls), float(lg), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gs)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b))
+        np.testing.assert_allclose(b, a, rtol=2e-4,
+                                   atol=2e-4 * max(np.abs(a).max(), 1e-8))
