@@ -231,6 +231,10 @@ class SLAM:
     def __init__(self, config: dict, dataset=None):
         self.config = inject_defaults(config)
         cfg = self.config
+        # loud per-knob verdict lines for any enabled adjudicated-loser
+        # knob (slam/experimental.py — the `experimental` namespace)
+        from .experimental import warn_experimental
+        warn_experimental(cfg)
         self.output_dir = os.path.join(cfg["workdir"], cfg["run_name"])
         self.eval_dir = os.path.join(self.output_dir, "eval")
         os.makedirs(self.eval_dir, exist_ok=True)
