@@ -106,6 +106,17 @@ quality_run() { # quality_run <name> <config> <sequence> <end_at> [extra --set]
 A=isogs_slam_tpu/configs/synthetic/ablations
 SN="--set tracking.sil_norm_render=True"
 
+# 0. op-profile captures FIRST (r3s6 map profile artifact was empty;
+#    these drive any further kernel work this round)
+run profile_map 1800 python -m isogs_slam_tpu.tools.profile_map
+[ -s "$OUT/profile_map.txt" ] && grep -q "device op time" "$OUT/profile_map.txt" \
+    && cp "$OUT/profile_map.txt" "$ART/profile_map_exact.txt" \
+    && commit_art "Measurement artifacts: exact map op profile (r4s2)"
+run profile_track 1800 python -m isogs_slam_tpu.tools.profile_map --track
+[ -s "$OUT/profile_track.txt" ] && grep -q "device op time" "$OUT/profile_track.txt" \
+    && cp "$OUT/profile_track.txt" "$ART/profile_track_exact.txt" \
+    && commit_art "Measurement artifacts: exact track op profile (r4s2)"
+
 # 1. tracking early-stop under silnorm (throughput lever, quality gate)
 quality_run estopsn_s0 "$A/full_res_earlystop.py" abl_estopsn_s0 30 \
     $SN --set run_name=abl_estopsn_s0
@@ -145,16 +156,6 @@ quality_run p99sn_s0 "$A/full_res_silnorm.py" abl_p99sn_s0 30 \
 # 6. 100-frame drift shape (variance-aware protocol, VERDICT item 3)
 quality_run long100sn_s0 "$A/full_res_silnorm.py" abl_long100sn_s0 100 \
     --set data.num_frames=110 --set run_name=abl_long100sn_s0
-
-# 7. op-profile re-captures (r3s6 map profile artifact was empty)
-run profile_map 1800 python -m isogs_slam_tpu.tools.profile_map
-[ -s "$OUT/profile_map.txt" ] && grep -q "device op time" "$OUT/profile_map.txt" \
-    && cp "$OUT/profile_map.txt" "$ART/profile_map_exact.txt" \
-    && commit_art "Measurement artifacts: exact map op profile (r4s2)"
-run profile_track 1800 python -m isogs_slam_tpu.tools.profile_map --track
-[ -s "$OUT/profile_track.txt" ] && grep -q "device op time" "$OUT/profile_track.txt" \
-    && cp "$OUT/profile_track.txt" "$ART/profile_track_exact.txt" \
-    && commit_art "Measurement artifacts: exact track op profile (r4s2)"
 
 echo "== chain done ($(date +%H:%M:%S)); results in $OUT and $ART"
 python -m isogs_slam_tpu.tools.seed_stats "$ART" artifacts/r4s1 artifacts/r3s6 \
