@@ -93,7 +93,11 @@ def main():
     lcfg_track = LossConfig(
         tracking=True, use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
-        w_flat=0.0, w_iso=0.0, calc_iso=False)
+        w_flat=0.0, w_iso=0.0, calc_iso=False,
+        # the product tracking default since round 4 (silhouette-bias
+        # fix, 3-seed adjudicated — NOTES round-4): bench the program
+        # users run. One extra [T,P] divide; timing-neutral.
+        sil_norm_render=bool(int(os.environ.get("BENCH_SIL_NORM", 1))))
     lcfg_map = LossConfig(
         tracking=False, use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
