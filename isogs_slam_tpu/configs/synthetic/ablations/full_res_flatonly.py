@@ -28,3 +28,7 @@ config["mapping"]["loss_weights"] = dict(im=0.5, depth=1.0, flat=50.0,
 # no iso pull on opacities -> silhouette saturates -> reference-parity
 # tracking threshold (same reasoning as full_res_noreg.py)
 config["tracking"]["sil_thres"] = 0.99
+# RAW-regime pin: this ablation's committed numbers (artifacts/r4s1,
+# NOTES round-4 blame table) were measured with the unnormalized
+# tracking render; the pipeline default flipped to True afterwards.
+config["tracking"]["sil_norm_render"] = False

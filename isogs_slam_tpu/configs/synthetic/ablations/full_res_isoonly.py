@@ -28,3 +28,7 @@ config["mapping"]["loss_weights"] = dict(im=0.5, depth=1.0, flat=0.0,
                                          iso=2.0)
 # sil_thres stays 0.5: the iso pull keeps the silhouette below 0.99
 # (full_res.py:80-85)
+# RAW-regime pin: this ablation's committed numbers (artifacts/r4s1,
+# NOTES round-4 blame table) were measured with the unnormalized
+# tracking render; the pipeline default flipped to True afterwards.
+config["tracking"]["sil_norm_render"] = False

@@ -23,3 +23,7 @@ config = copy.deepcopy(_base.config)
 config["run_name"] = f"{scene_name}_{seed}"
 config["data"]["sequence"] = scene_name
 config["tracking"]["sil_thres"] = 0.5
+# RAW-regime pin: this ablation's committed numbers (artifacts/r4s1,
+# NOTES round-4 blame table) were measured with the unnormalized
+# tracking render; the pipeline default flipped to True afterwards.
+config["tracking"]["sil_norm_render"] = False

@@ -108,7 +108,13 @@ def _loss_cfg_tracking(config) -> LossConfig:
         ignore_outlier_depth_loss=t["ignore_outlier_depth_loss"],
         w_im=w["im"], w_depth=w["depth"], w_flat=0.0, w_iso=0.0,
         calc_iso=False,
-        sil_norm_render=t.get("sil_norm_render", False))
+        # Default ON (round-4 verdict, NOTES r4s2): the unnormalized alpha
+        # composite under-estimates depth by the silhouette factor; with the
+        # iso regularizer pulling s below 1 that bias drove the tracked-ATE
+        # cliff (2.5-3.4 cm -> 0.135 cm with normalization, 3 seeds). The
+        # LossConfig dataclass default stays False (library-level reference
+        # parity); raw-regime ablation configs pin False explicitly.
+        sil_norm_render=t.get("sil_norm_render", True))
 
 
 def _loss_cfg_mapping(config) -> LossConfig:
