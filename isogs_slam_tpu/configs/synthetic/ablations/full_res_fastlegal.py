@@ -1,0 +1,37 @@
+"""The production fast-mode CANDIDATE: every throughput lever that is
+individually under adjudication in chain r4s3, combined —
+  tracking.tile_subsample = 4      (fast-tracking stripes)
+  tracking.early_stop_patience = 8 (data-dependent iter savings)
+  mapping.tile_subsample = 4       (stripe-cycled fast mapping)
+  mapping.exact_polish_iters = 4   (exact tail re-anchors the map)
+  raster.adaptive_max_per_tile     (uncapped-compositing parity:
+                                    true-drop frac -> < 1%)
+under the round-4 default silhouette-normalized tracking render.
+
+This is the configuration the reachable-FPS ledger (NOTES.md round-4)
+prices at ~0.66 s/frame single-chip (1.5 FPS) and ~5.7 FPS predicted on
+8 chips. Contract: median ATE over >= 3 seeds within 10% of the
+silnorm control (0.135 cm) at PSNR within 0.5 dB — adjudicate ONLY
+after the per-lever r4s3 verdicts, so a failure here is attributable.
+Reference anchor: the fast path deviates from splatam.py's
+full-image-every-iteration semantics only in the adjudicated,
+estimator-exact ways documented on each knob."""
+import copy
+import os
+from importlib.machinery import SourceFileLoader
+
+_base = SourceFileLoader(
+    "_full_res_base",
+    os.path.join(os.path.dirname(__file__), "..", "full_res.py")
+).load_module()
+
+scene_name = "synthetic_room_fullres_fastlegal"
+seed = 0
+config = copy.deepcopy(_base.config)
+config["run_name"] = f"{scene_name}_{seed}"
+config["data"]["sequence"] = scene_name
+config["tracking"]["tile_subsample"] = 4
+config["tracking"]["early_stop_patience"] = 8
+config["mapping"]["tile_subsample"] = 4
+config["mapping"]["exact_polish_iters"] = 4
+config["raster"]["adaptive_max_per_tile"] = True

@@ -147,3 +147,44 @@ def test_slot_path_matches_gaussian_path_with_norm():
         assert np.all(np.isfinite(b))
         np.testing.assert_allclose(b, a, rtol=2e-4,
                                    atol=2e-4 * max(np.abs(a).max(), 1e-8))
+
+
+def test_pipeline_default_and_raw_regime_pins():
+    """Round-4 default-flip contract: the pipeline-level tracking loss
+    defaults to the normalized render (NOTES round-4, 3-seed verdict),
+    the LossConfig dataclass default stays False (library-level
+    reference parity), and the raw-regime blame ablation configs pin
+    False so their committed artifacts/r4s1 numbers stay reproducible."""
+    import os
+    from importlib.machinery import SourceFileLoader
+
+    from isogs_slam_tpu.slam.pipeline import _loss_cfg_tracking
+
+    assert LossConfig.__new__.__defaults__ is not None  # dataclass-style
+    assert LossConfig(tracking=True, use_sil_for_loss=True, sil_thres=0.5,
+                      use_l1=True, ignore_outlier_depth_loss=False,
+                      w_im=0.5, w_depth=1.0).sil_norm_render is False
+
+    base = dict(tracking=dict(
+        use_sil_for_loss=True, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False,
+        loss_weights=dict(im=0.5, depth=1.0)))
+    assert _loss_cfg_tracking(base).sil_norm_render is True
+
+    abl = os.path.join(os.path.dirname(__file__), "..", "isogs_slam_tpu",
+                       "configs", "synthetic", "ablations")
+    for name, want in [("full_res_noreg", False), ("full_res_flatonly", False),
+                       ("full_res_isoonly", False),
+                       ("full_res_noreg_sil05", False),
+                       ("full_res_silnorm", True),
+                       ("full_res_fastlegal", None)]:
+        mod = SourceFileLoader(
+            f"_abl_{name}", os.path.join(abl, f"{name}.py")).load_module()
+        got = mod.config["tracking"].get("sil_norm_render")
+        if want is None:   # inherits the pipeline default
+            assert got is None or got is True
+        else:
+            assert got is want, name
+        # and every ablation run resolves through the pipeline builder
+        eff = _loss_cfg_tracking(mod.config).sil_norm_render
+        assert eff is (want if want is not None else True), name
