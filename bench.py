@@ -88,8 +88,14 @@ def main():
         tile_cull=bool(int(os.environ.get("BENCH_TILE_CULL", 0))),
         tight_rect=bool(int(os.environ.get("BENCH_TIGHT_RECT", 0))),
         isect_per_gaussian=float(
-            os.environ.get("BENCH_ISECT_PER_GAUSSIAN", 2.5)))
-    rcfg_track = rcfg._replace(max_per_tile=256)
+            os.environ.get("BENCH_ISECT_PER_GAUSSIAN", 2.5)),
+        # BENCH_MAX_PER_TILE prices uncapped-compositing parity (the
+        # pipeline's raster.adaptive_max_per_tile escalates 512 -> 1024
+        # when > 0.5% of true-footprint intersections drop; a static
+        # bench knob avoids mid-measurement recompiles)
+        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 512)))
+    rcfg_track = rcfg._replace(
+        max_per_tile=int(os.environ.get("BENCH_TRACK_MAX_PER_TILE", 256)))
     lcfg_track = LossConfig(
         tracking=True, use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
         ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
