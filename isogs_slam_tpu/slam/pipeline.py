@@ -868,6 +868,9 @@ class SLAM:
                           f"or reduce the iso weight.")
                 self.stats["tracking_iter_time"].append(
                     (t1 - t0) / max(iters, 1))
+                # early-stop observability: mean iters actually run is
+                # the lever's measured savings (num_iters - mean)
+                self.stats.setdefault("tracking_iters_run", []).append(iters)
             self.stats["tracking_frame_time"].append(t1 - t0)
 
             # densification + mapping
@@ -1005,6 +1008,9 @@ class SLAM:
         }
         if s["gn_accepted"]:
             d["GN Polish Acceptance Rate"] = mean(s["gn_accepted"])
+        if s.get("tracking_iters_run"):
+            d["Average Tracking Iterations Run"] = mean(
+                s["tracking_iters_run"])
         caps = s.get("tile_cap_dropped_frac", [])
         if caps:
             d["Tile-Cap True-Drop Frac (max)"] = float(np.max(caps))
