@@ -1,7 +1,6 @@
 """The production fast-mode CANDIDATE: every throughput lever that is
 individually under adjudication in chain r4s3, combined —
   tracking.tile_subsample = 4      (fast-tracking stripes)
-  tracking.early_stop_patience = 8 (data-dependent iter savings)
   mapping.tile_subsample = 4       (stripe-cycled fast mapping)
   mapping.exact_polish_iters = 4   (exact tail re-anchors the map)
   raster.adaptive_max_per_tile     (uncapped-compositing parity:
@@ -31,7 +30,9 @@ config = copy.deepcopy(_base.config)
 config["run_name"] = f"{scene_name}_{seed}"
 config["data"]["sequence"] = scene_name
 config["tracking"]["tile_subsample"] = 4
-config["tracking"]["early_stop_patience"] = 8
+# early_stop_patience was in this candidate until the r4s3 3-seed verdict
+# (ATE 0.308 vs 0.135 control for a 7% iter saving) — adjudicated loser,
+# see slam/experimental.py.
 config["mapping"]["tile_subsample"] = 4
 config["mapping"]["exact_polish_iters"] = 4
 config["raster"]["adaptive_max_per_tile"] = True

@@ -24,6 +24,13 @@ LOSERS = {
         lambda v: bool(v),
         "LOSES on exact bench (NOTES r3s4: 0.8734 FPS vs 0.923 serial "
         "slot binnings)."),
+    ("tracking", "early_stop_patience"): (
+        lambda v: int(v or 0) > 0,
+        "LOSES at full_res (NOTES r4s3, 3 seeds under silnorm: ATE median "
+        "0.308 vs control 0.135 cm, PSNR -2.5 dB) while saving only "
+        "2.8 of 40 iterations (7%) — the best-candidate metric's "
+        "improvement tail is slow but real, and truncating it "
+        "compounds into drift. Worthless savings at a real cost."),
     ("tracking", "fan_rounds"): (
         lambda v: int(v or 0) > 0,
         "HARMFUL on sequences (NOTES r3s2: full_res+fan3 ATE 3.64 vs "
