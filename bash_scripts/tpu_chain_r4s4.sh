@@ -102,16 +102,26 @@ quality_run fastlegal_s1 "$A/full_res_fastlegal.py" abl_fastlegal_s1 30 \
 quality_run fastlegal_s2 "$A/full_res_fastlegal.py" abl_fastlegal_s2 30 \
     --set seed=2 --set run_name=abl_fastlegal_s2
 
-# bench with the fast leg matching the legal candidate (the fast_mode
-# detail = map sub4 + 4 exact tail + track sub4 is already the default;
-# BENCH_MAX_PER_TILE follows the kcap verdict via env at launch time)
-run bench_legal 2400 env ${BENCH_ENV:-} python bench.py
+# bench 1: default env — exact headline comparable to r4s1's 0.9426,
+# fast_mode detail = the now-contract-passing legal configuration
+run bench_legal 2400 python bench.py
 if grep -q '"metric"' "$OUT/bench_legal.txt" 2>/dev/null; then
     grep '"metric"' "$OUT/bench_legal.txt" > "$ART/bench_legal.json"
     commit_art "Measurement artifacts: bench with legal fast leg (r4s4)"
 else
     echo "== bench_legal produced no metric line — NOT committing"
     commit_art "Measurement status: bench_legal FAILED rc=$RUN_RC (r4s4 chain)"
+fi
+
+# bench 2: price the kcap default flip (escalated per-tile cap 768 —
+# the [T,K] glue is K-proportional; quality side adjudicated in r4s3)
+run bench_k768 2400 env BENCH_MAX_PER_TILE=768 python bench.py
+if grep -q '"metric"' "$OUT/bench_k768.txt" 2>/dev/null; then
+    grep '"metric"' "$OUT/bench_k768.txt" > "$ART/bench_k768.json"
+    commit_art "Measurement artifacts: bench at max_per_tile 768 (r4s4)"
+else
+    echo "== bench_k768 produced no metric line — NOT committing"
+    commit_art "Measurement status: bench_k768 FAILED rc=$RUN_RC (r4s4 chain)"
 fi
 
 echo "== chain done ($(date +%H:%M:%S))"
