@@ -188,3 +188,13 @@ def test_pipeline_default_and_raw_regime_pins():
         # and every ablation run resolves through the pipeline builder
         eff = _loss_cfg_tracking(mod.config).sil_norm_render
         assert eff is (want if want is not None else True), name
+
+
+def test_adaptive_tile_cap_defaults_on():
+    """Round-4 default flip #2 (NOTES r4s3 kcap verdict): the pipeline
+    escalates the per-tile compositing cap by default — the reference
+    composites every intersection, so a silent >0.5% true-drop was a
+    render-semantics deviation."""
+    cfg = {"raster": {}}
+    # mirror of the condition in SLAM._check_tile_cap
+    assert cfg["raster"].get("adaptive_max_per_tile", True) is True
