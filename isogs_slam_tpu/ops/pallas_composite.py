@@ -575,9 +575,10 @@ def _bwd_call(gdata, counts, gout, gtsum, carries, F: int, tiles_x: int,
     return dgdata
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def composite_tiles(gdata, counts, F: int, tiles_x: int | None,
-                    interpret: bool = False, sq_col: int | None = None):
+                    interpret: bool = False, sq_col: int | None = None,
+                    bwd_bf16: bool = False):
     """gdata [T, K, 6+F] (absolute-pixel u, v, conic A B C, opacity,
     features...), counts [T] -> (tile images [T, P, F(+1)], final
     transmittance [T, P] as 1 - sum w). K must be a multiple of 128;
@@ -590,19 +591,25 @@ def composite_tiles(gdata, counts, F: int, tiles_x: int | None,
     return _fwd_call(gdata, counts, F, tiles_x, interpret, sq_col)
 
 
-def _ct_fwd(gdata, counts, F, tiles_x, interpret, sq_col):
+def _ct_fwd(gdata, counts, F, tiles_x, interpret, sq_col, bwd_bf16):
     out_im, final_t, carries = _fwd_call(gdata, counts, F, tiles_x,
                                          interpret, sq_col,
                                          want_carries=True)
     return (out_im, final_t), (gdata, counts, carries)
 
 
-def _ct_bwd(F, tiles_x, interpret, sq_col, res, cts):
+def _ct_bwd(F, tiles_x, interpret, sq_col, bwd_bf16, res, cts):
     gdata, counts, carries = res
     gout, gfinal_t = cts
     # final_T = 1 - tsum  =>  d tsum = -d final_T
+    # bwd_bf16: emit the dgdata cotangent in bfloat16. Callers whose very
+    # next backward op is a bf16 scatter (the subset path's partial-grad
+    # gather) request this — it halves the kernel's out-block, which at
+    # the escalated per-tile cap K=768 is what keeps the backward under
+    # the 16 MB scoped-vmem limit (measured OOM-by-1KB at f32, r4s4).
     dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, carries, F, tiles_x,
-                       interpret, sq_col)
+                       interpret, sq_col,
+                       out_dtype=jnp.bfloat16 if bwd_bf16 else jnp.float32)
     return dgdata, None
 
 

@@ -884,7 +884,8 @@ def composite(proj: Projected, opacity: jnp.ndarray, features: jnp.ndarray,
 
 
 def composite_gdata(gdata: jnp.ndarray, counts: jnp.ndarray, cam: Camera,
-                    cfg: RasterConfig, F: int, sq_col: int | None = None):
+                    cfg: RasterConfig, F: int, sq_col: int | None = None,
+                    bwd_bf16: bool = False):
     """Backend dispatch for per-tile compositing of already-assembled
     per-slot records gdata [num_tiles, K, 6+F] (absolute-pixel u, v).
 
@@ -907,7 +908,7 @@ def composite_gdata(gdata: jnp.ndarray, counts: jnp.ndarray, cam: Camera,
                 axis=1)
         out, final_t = composite_tiles(
             gdata, counts, F, cam.tiles_x,
-            backend == "pallas-interpret", sq_col)
+            backend == "pallas-interpret", sq_col, bwd_bf16)
         return out, final_t
 
     if sq_col is not None:
@@ -1166,7 +1167,16 @@ def render_tiles_subset(means_cam, quats_cam, log_scales, logit_opacities,
     gdata = gdata + _virtual_row_shift(sel, cam, gdata.shape[-1],
                                        gdata.dtype)
     grid = _TileGrid(num_tiles=t_sub, tiles_x=t_sub)
-    out, final_t = composite_gdata(gdata, counts, grid, cfg, 4, sq_col=3)
+    # bf16 composite cotangent: the next backward op on this path casts
+    # to bf16 anyway (partial-grad scatter-add below the crossover,
+    # segreduce expansion write-back above it — both gated on
+    # grad_scatter_bf16), so the f32 dgdata block was pure vmem pressure:
+    # at the escalated K=768 per-tile cap it put the backward kernel 1 KB
+    # over the 16 MB scoped-vmem limit (measured, r4s4). live_grad_cols
+    # is None only on test/toy paths that want full-f32 gradients.
+    bwd_bf16 = cfg.grad_scatter_bf16 and live_grad_cols is not None
+    out, final_t = composite_gdata(gdata, counts, grid, cfg, 4, sq_col=3,
+                                   bwd_bf16=bwd_bf16)
     return out, final_t, {"radii": proj.radius}
 
 
