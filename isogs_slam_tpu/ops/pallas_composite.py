@@ -610,7 +610,10 @@ def _ct_bwd(F, tiles_x, interpret, sq_col, bwd_bf16, res, cts):
     dgdata = _bwd_call(gdata, counts, gout, -gfinal_t, carries, F, tiles_x,
                        interpret, sq_col,
                        out_dtype=jnp.bfloat16 if bwd_bf16 else jnp.float32)
-    return dgdata, None
+    # the custom_vjp boundary stays f32 (cotangent dtype must match the
+    # primal for downstream ops — same convention as the fused path); the
+    # vmem win is the kernel's bf16 out-block, not the HBM array
+    return dgdata.astype(gdata.dtype), None
 
 
 composite_tiles.defvjp(_ct_fwd, _ct_bwd)
