@@ -18,6 +18,21 @@ verdict line:
   IMPROVES    — really better than control
 The default contract margin is 10% relative ATE (--rel-tol 0.10), the
 round-3 fast-mode contract.
+
+The long-run tiebreaker (--tiebreak control_long:candidate_long):
+30-frame x 3-seed margins for the fast-mode contracts sit exactly at
+the decidability edge (margin == 2x noise), so the rule's designated
+tiebreaker is the 100-frame drift-shape pair — drift is super-linear
+from ~frame 15 (NOTES r3s3 mapsub1f shape), so length separates
+configurations that seeds cannot. With --tiebreak, rows named in
+--tiebreak-covers (default: the fastlegal candidate and its component
+levers, which are all sub-configurations of the candidate long run —
+a component that caused real drift would have to show in the
+combination at length) get their PROVISIONAL verdicts upgraded:
+  PASS  if the long-run ATE delta <= max(rel_tol * control_long,
+        2x the 30-frame noise) and the long-run PSNR drop <= psnr_tol
+  FAIL  if it exceeds that margin
+Upgraded rows are tagged "(long100)".
 """
 from __future__ import annotations
 
@@ -25,6 +40,8 @@ import argparse
 import statistics
 
 from .seed_stats import ATE, PSNR, collect
+
+TIEBREAK_COVERS_DEFAULT = "fastlegal,tsub4sn,kcapsn,msub4sn"
 
 
 def adjudicate(groups, control: str, rel_tol: float = 0.10,
@@ -65,6 +82,40 @@ def adjudicate(groups, control: str, rel_tol: float = 0.10,
     return c_med, noise, margin, rows
 
 
+def apply_tiebreak(groups, rows, noise, tiebreak: str, covers: str,
+                   rel_tol: float = 0.10, psnr_tol: float = 0.5):
+    """Upgrade PROVISIONAL verdicts in `rows` from the 100-frame
+    drift-shape pair. Returns (new_rows, summary_line) — summary_line is
+    None (with rows unchanged) when either long group is missing."""
+    ctrl_name, _, cand_name = tiebreak.partition(":")
+    if ctrl_name not in groups or cand_name not in groups:
+        missing = [n for n in (ctrl_name, cand_name) if n not in groups]
+        return rows, None, f"tiebreak groups missing: {missing}"
+    cL = groups[ctrl_name]
+    fL = groups[cand_name]
+    cL_ate = statistics.median([r[1] for r in cL])
+    fL_ate = statistics.median([r[1] for r in fL])
+    cL_psnr = statistics.median([r[2] for r in cL])
+    fL_psnr = statistics.median([r[2] for r in fL])
+    d_ate = fL_ate - cL_ate
+    d_psnr = fL_psnr - cL_psnr
+    margin_l = max(rel_tol * cL_ate, 2.0 * noise)
+    ok = d_ate <= margin_l and d_psnr >= -psnr_tol
+    long_verdict = "PASS" if ok else "FAIL"
+    covered = {c.strip() for c in covers.split(",") if c.strip()}
+    new_rows = []
+    for g, n, da, dp, verdict in rows:
+        if g in covered and verdict.startswith("PROVISIONAL"):
+            verdict = f"{long_verdict} (long100)"
+        new_rows.append((g, n, da, dp, verdict))
+    summary = (f"tiebreak {cand_name} vs {ctrl_name} at length: ATE "
+               f"{fL_ate:.3f} vs {cL_ate:.3f} cm (d{d_ate:+.3f}, margin "
+               f"{margin_l:.3f}), PSNR {fL_psnr:.2f} vs {cL_psnr:.2f} "
+               f"(d{d_psnr:+.2f}) -> {long_verdict} for covered rows "
+               f"{sorted(covered)}")
+    return new_rows, long_verdict, summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+")
@@ -74,6 +125,13 @@ def main(argv=None):
                     help="relative ATE contract margin (default 10%%)")
     ap.add_argument("--psnr-tol", type=float, default=0.5,
                     help="allowed PSNR drop in dB (default 0.5)")
+    ap.add_argument("--tiebreak", default=None,
+                    metavar="CONTROL_LONG:CANDIDATE_LONG",
+                    help="long-run drift-shape group pair; upgrades "
+                         "PROVISIONAL verdicts of covered rows")
+    ap.add_argument("--tiebreak-covers", default=TIEBREAK_COVERS_DEFAULT,
+                    help="comma list of groups the tiebreaker covers "
+                         f"(default: {TIEBREAK_COVERS_DEFAULT})")
     args = ap.parse_args(argv)
     groups = collect(args.dirs)
     c_med, noise, margin, rows = adjudicate(
@@ -81,6 +139,15 @@ def main(argv=None):
     print(f"control={args.control}: ATE median {c_med:.3f} cm, seed "
           f"range (noise) {noise:.3f} cm, contract margin "
           f"{margin:.3f} cm")
+    if args.tiebreak:
+        rows, _, summary = apply_tiebreak(
+            groups, rows, noise, args.tiebreak, args.tiebreak_covers,
+            args.rel_tol, args.psnr_tol)
+        print(summary)
+        # the long groups are tiebreak EVIDENCE (different frame count),
+        # not candidates against the 30-frame control — drop their rows
+        long_names = {n for n in args.tiebreak.split(":") if n}
+        rows = [r for r in rows if r[0] not in long_names]
     print(f"{'config':<18} {'n':>2} {'dATE(cm)':>9} {'dPSNR':>7} verdict")
     for g, n, d_ate, d_psnr, verdict in rows:
         print(f"{g:<18} {n:>2} {d_ate:>+9.3f} {d_psnr:>+7.2f} {verdict}")

@@ -62,3 +62,56 @@ def test_psnr_guard_blocks_pass():
 def test_missing_control_raises():
     with pytest.raises(SystemExit):
         adjudicate({"a": g((1, 30))}, "nope")
+
+
+def _silnorm_regime_groups():
+    """The real round-4 shape: margins at the decidability edge."""
+    return {
+        "ctl": g((0.133, 34.9), (0.135, 35.0), (0.144, 34.7)),
+        "fastlegal": g((0.137, 36.9), (0.137, 36.9), (0.135, 36.4)),
+        # PROVISIONAL but NOT part of the fast candidate -> must stay
+        "polyaksn": g((0.145, 35.0), (0.146, 35.0), (0.147, 35.0)),
+        "long_ctl": g((0.40, 33.0)),
+        "long_fast": g((0.42, 34.5)),
+    }
+
+
+def test_tiebreak_upgrades_covered_provisionals_to_pass():
+    from isogs_slam_tpu.tools.contracts import apply_tiebreak
+    groups = _silnorm_regime_groups()
+    _, noise, _, rows = adjudicate(groups, "ctl")
+    v0 = {r[0]: r[4] for r in rows}
+    assert v0["fastlegal"] == "PROVISIONAL"
+    rows2, verdict, summary = apply_tiebreak(
+        groups, rows, noise, "long_ctl:long_fast", "fastlegal,msub4sn")
+    v = {r[0]: r[4] for r in rows2}
+    assert verdict == "PASS"
+    assert v["fastlegal"] == "PASS (long100)"
+    # uncovered provisional rows are untouched
+    assert v["polyaksn"] == v0["polyaksn"]
+    assert "PASS" in summary
+
+
+def test_tiebreak_fails_on_long_run_drift():
+    from isogs_slam_tpu.tools.contracts import apply_tiebreak
+    groups = _silnorm_regime_groups()
+    # candidate drifts 50% beyond the control at length -> FAIL
+    groups["long_fast"] = g((0.60, 33.0))
+    _, noise, _, rows = adjudicate(groups, "ctl")
+    rows2, verdict, _ = apply_tiebreak(
+        groups, rows, noise, "long_ctl:long_fast", "fastlegal")
+    v = {r[0]: r[4] for r in rows2}
+    assert verdict == "FAIL"
+    assert v["fastlegal"] == "FAIL (long100)"
+
+
+def test_tiebreak_missing_groups_degrades_gracefully():
+    from isogs_slam_tpu.tools.contracts import apply_tiebreak
+    groups = {"ctl": g((1.0, 30.0), (1.0, 30.0), (1.0, 30.0)),
+              "x": g((1.0, 30.0), (1.0, 30.0), (1.0, 30.0))}
+    _, noise, _, rows = adjudicate(groups, "ctl")
+    rows2, verdict, summary = apply_tiebreak(
+        groups, rows, noise, "nope_a:nope_b", "x")
+    assert rows2 == rows
+    assert verdict is None
+    assert "missing" in summary
