@@ -9,8 +9,14 @@ Baseline: the reference's measured full-pipeline rate on Replica room0 is
 ~7.5 s/frame = 0.133 FPS on an RTX 4090D (python_ordinary/日志/Dec18_凌晨.md:78,
 recorded in BASELINE.md). vs_baseline = our FPS / 0.133.
 
-Prints ONE JSON line. Env knobs: BENCH_H/BENCH_W (default 680/1200),
-BENCH_FRAMES (measured frames, default 10), BENCH_TRACK_ITERS (10),
+Prints ONE JSON line. The headline value is the MEDIAN of BENCH_PASSES
+(default 3) independent measured passes; per-pass legs, per-frame wall
+times, and pre/post tunnel-latency probes are recorded in detail so a
+tunnel excursion is visible in the artifact (VERDICT r4 item 2: two runs
+of the same bench differed 36% with no in-artifact signal).
+
+Env knobs: BENCH_H/BENCH_W (default 680/1200), BENCH_PASSES (3),
+BENCH_FRAMES (measured frames per pass, default 10), BENCH_TRACK_ITERS (10),
 BENCH_MAP_ITERS (40), BENCH_MAP_EVERY (5), BENCH_TILE_SUBSAMPLE (mapping
 fast mode, 1 = exact), BENCH_MAP_POLISH (closing exact iterations of a
 subsampled mapping phase), BENCH_TRACK_TILE_SUBSAMPLE (tracking fast mode,
@@ -52,6 +58,22 @@ VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 def log(msg):
     if VERBOSE:
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def latency_probe_ms(n=6):
+    """Median round-trip of a tiny jitted matmul — the tunnel-latency
+    signal. NOTES r4s3 measured 5x tunnel excursions that made two runs
+    of the same bench differ 36%; recording pre/post probes in the
+    result JSON makes an excursion visible in the artifact itself."""
+    x = jnp.ones((256, 256), jnp.float32)
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()
+    ts = []
+    for _ in range(n):
+        t = time.perf_counter()
+        f(x).block_until_ready()
+        ts.append((time.perf_counter() - t) * 1000.0)
+    return round(float(np.median(ts)), 2)
 
 
 def main():
@@ -262,13 +284,47 @@ def main():
     for i in range(1, n_frames + 1):
         frame(i)
 
-    timing = {"track": 0.0, "map": 0.0}
-    t0_ = time.perf_counter()
-    for i in range(1, n_frames + 1):
-        state = run_frame(i, state, timing)
-    elapsed = time.perf_counter() - t0_
+    # excursion-proof measurement (VERDICT r4 item 2): N independent
+    # passes over the same frames, headline = MEDIAN pass FPS, per-pass
+    # legs + per-frame wall times + pre/post tunnel-latency probes all
+    # recorded in detail so a reader can tell tunnel noise from a real
+    # regression inside the artifact itself.
+    n_passes = max(1, int(os.environ.get("BENCH_PASSES", 3)))
 
-    fps = n_frames / elapsed
+    def measure_passes(n_passes, timing_accum):
+        passes = []
+        frame_times = []
+        for _ in range(n_passes):
+            pt = {"track": 0.0, "map": 0.0}
+            ft = []
+            t0_ = time.perf_counter()
+            for i in range(1, n_frames + 1):
+                tf = time.perf_counter()
+                nonlocal_state[0] = run_frame(i, nonlocal_state[0], pt)
+                ft.append(round(time.perf_counter() - tf, 3))
+            el = time.perf_counter() - t0_
+            passes.append({
+                "fps": round(n_frames / el, 4),
+                "track_s_per_frame": round(pt["track"] / n_frames, 4),
+                "map_s_per_frame": round(pt["map"] / n_frames, 4),
+            })
+            frame_times.append(ft)
+            for k in ("track", "map"):
+                timing_accum[k] += pt[k]
+            timing_accum["isect"] = max(timing_accum.get("isect", 0.0),
+                                        pt.get("isect", 0.0))
+        return passes, frame_times
+
+    nonlocal_state = [state]
+    probe_pre = latency_probe_ms()
+    timing = {"track": 0.0, "map": 0.0}
+    passes, frame_times = measure_passes(n_passes, timing)
+    probe_post = latency_probe_ms()
+    state = nonlocal_state[0]
+
+    med = sorted(p["fps"] for p in passes)[len(passes) // 2]
+    med_pass = next(p for p in passes if p["fps"] == med)
+    fps = med_pass["fps"]
     n_gauss = int(jnp.sum(state.alive))
     result = {
         "metric": f"replica-config tracking+mapping FPS ({W}x{H}, 1 chip)",
@@ -277,9 +333,13 @@ def main():
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
         "detail": {
             "frames": n_frames,
-            "elapsed_s": round(elapsed, 3),
-            "track_s_per_frame": round(timing["track"] / n_frames, 4),
-            "map_s_per_frame": round(timing["map"] / n_frames, 4),
+            "passes": passes,
+            "median_pass": "value = median pass FPS; legs below are the "
+                           "median pass's",
+            "track_s_per_frame": med_pass["track_s_per_frame"],
+            "map_s_per_frame": med_pass["map_s_per_frame"],
+            "frame_times_s": frame_times,
+            "latency_probe_ms": {"pre": probe_pre, "post": probe_post},
             "n_gaussians": n_gauss,
             "resolution": f"{W}x{H}",
             "track_iters": track_iters, "map_iters": map_iters,
@@ -312,12 +372,13 @@ def main():
         state = run_frame(map_every - 1, state, None)   # compile fast mode
         state = run_frame(1, state, None)
         jax.block_until_ready(state.params.means3d)
-        ft = {"track": 0.0, "map": 0.0}
-        tf0 = time.perf_counter()
-        for i in range(1, n_frames + 1):
-            state = run_frame(i, state, ft)
-        felapsed = time.perf_counter() - tf0
-        result["detail"]["fast_mode_fps"] = round(n_frames / felapsed, 4)
+        nonlocal_state[0] = state
+        ftiming = {"track": 0.0, "map": 0.0}
+        fpasses, _ = measure_passes(n_passes, ftiming)
+        fmed = sorted(p["fps"] for p in fpasses)[len(fpasses) // 2]
+        result["detail"]["fast_mode_fps"] = fmed
+        result["detail"]["fast_mode_passes"] = fpasses
+        result["detail"]["fast_mode_probe_post_ms"] = latency_probe_ms()
         result["detail"]["fast_mode"] = (
             f"map sub4 cycle + {fast_polish} exact tail iters + track sub4")
 
