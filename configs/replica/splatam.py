@@ -25,3 +25,12 @@ config = make_config(
     map_every=5, keyframe_every=5, mapping_window_size=24,
     tracking_iters=10, mapping_iters=40,
     tracking_lr_rot=0.0004, tracking_lr_trans=0.002)
+
+# Pinned EXPLICITLY (ADVICE r4): the round-4 pipeline default flip would
+# otherwise change this config's tracking-loss semantics silently. True
+# is intended here: the silhouette-normalized tracking render removes
+# the raw composite's s-factor depth bias and nests reference behavior
+# at this config's sil_thres=0.99 (bias <= 1% there; 3-seed verdict
+# NOTES r4s1 — ATE 0.135 vs 2.49 raw). Set False to reproduce the
+# reference's raw-composite tracking loss bit-for-bit.
+config["tracking"]["sil_norm_render"] = True

@@ -42,3 +42,7 @@ config = make_config(
 config["tracking"]["tile_subsample"] = 4
 config["mapping"]["tile_subsample"] = 4
 config["mapping"]["exact_polish_iters"] = 4
+# pinned explicitly (ADVICE r4): every fast-mode verdict above was
+# adjudicated UNDER the silhouette-normalized tracking render — the
+# regime is load-bearing for this preset's quality contract
+config["tracking"]["sil_norm_render"] = True

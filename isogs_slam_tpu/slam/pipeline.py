@@ -45,6 +45,13 @@ from .tracking import (BinningReuse, TrackingConfig, initialize_camera_pose,
 LOG_FIELDS = ["frame", "stage", "step", "loss", "image_loss", "depth_loss",
               "flat_loss", "iso_loss", "mean_density", "mask_frac"]
 
+# Default ON since round 4 (r4s3 kcap verdict, 3 seeds quality-free,
+# true-drop 6.6% -> 0.91%): the reference composites EVERY intersection
+# (renderer.cpp:214-232), so a silent >0.5% true-candidate drop at the
+# per-tile top-K was a render-semantics deviation. Module-level so tests
+# assert the shipped default, not a local mirror of it.
+ADAPTIVE_MAX_PER_TILE_DEFAULT = True
+
 
 class MetricsCSV:
     """Append-only metrics_log.csv with resume truncation
@@ -733,7 +740,8 @@ class SLAM:
         # intersections uncomposited was this repo's last render-
         # semantics deviation. Escalation recompiles the mapping
         # programs (once or twice per run, outside steady state).
-        if (self.config["raster"].get("adaptive_max_per_tile", True)
+        if (self.config["raster"].get("adaptive_max_per_tile",
+                                      ADAPTIVE_MAX_PER_TILE_DEFAULT)
                 and K < 1024):
             new_k = min(1024, K + 256)
             print(f"[raster] {frac:.1%} true candidates dropped at "

@@ -101,6 +101,53 @@ def test_pallas_batch_kernel_matches_per_tile(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_composite_bwd_bf16_matches_f32():
+    """The bwd_bf16 composite backward is the production default on the
+    subset path (grad_scatter_bf16 defaults True; it is also what keeps
+    the backward kernel under the 16 MB scoped-vmem limit at escalated
+    K — NOTES r4s4 found-and-fixed). Until now only live TPU runs
+    exercised it (ADVICE r4): pin CPU interpret-mode equivalence — bf16
+    kernel out-block, f32 custom_vjp boundary dtype, grads within bf16
+    rounding of the f32 path."""
+    from isogs_slam_tpu.ops.pallas_composite import CHUNK, composite_tiles
+
+    rng = np.random.default_rng(7)
+    T, K, F = 8, 2 * CHUNK, 4
+    tiles_x = 4
+    gdata = np.zeros((T, K, 6 + F), np.float32)
+    for t in range(T):
+        ox, oy = (t % tiles_x) * 16, (t // tiles_x) * 16
+        gdata[t, :, 0] = rng.uniform(ox - 2, ox + 18, K)
+        gdata[t, :, 1] = rng.uniform(oy - 2, oy + 18, K)
+    gdata[:, :, 2] = rng.uniform(0.05, 0.6, (T, K))
+    gdata[:, :, 4] = rng.uniform(0.05, 0.6, (T, K))
+    gdata[:, :, 3] = rng.uniform(-0.05, 0.05, (T, K))
+    gdata[:, :, 5] = rng.uniform(0.0, 1.2, (T, K))
+    gdata[:, :, 6:] = rng.uniform(0, 2, (T, K, F))
+    counts = rng.integers(0, K + 1, T).astype(np.int32)
+    counts[0], counts[1] = 0, K
+    gdata = jnp.asarray(gdata)
+    counts = jnp.asarray(counts)
+
+    def grad_of(bwd_bf16):
+        def loss(gd):
+            out, final_t = composite_tiles(gd, counts, F, tiles_x, True, 3,
+                                           bwd_bf16)
+            return jnp.sum(out * out) + jnp.sum(final_t)
+        return jax.grad(loss)(gdata)
+
+    g32 = grad_of(False)
+    g16 = grad_of(True)
+    # the custom_vjp boundary convention: cotangent comes back f32
+    assert g16.dtype == jnp.float32
+    a, b = np.asarray(g32), np.asarray(g16)
+    assert np.all(np.isfinite(b))
+    scale = np.abs(a).max()
+    # bf16 has ~8 mantissa bits -> ~4e-3 relative; advisor measured
+    # ~2e-3 max relative diff on this shape
+    assert np.max(np.abs(a - b)) / max(scale, 1e-8) < 5e-3
+
+
 def test_hash_knn_recall():
     from isogs_slam_tpu.ops.iso_loss import knn_blocked
     from isogs_slam_tpu.ops.spatial_hash import build_hash_grid, knn_hash

@@ -194,7 +194,33 @@ def test_adaptive_tile_cap_defaults_on():
     """Round-4 default flip #2 (NOTES r4s3 kcap verdict): the pipeline
     escalates the per-tile compositing cap by default — the reference
     composites every intersection, so a silent >0.5% true-drop was a
-    render-semantics deviation."""
-    cfg = {"raster": {}}
-    # mirror of the condition in SLAM._check_tile_cap
-    assert cfg["raster"].get("adaptive_max_per_tile", True) is True
+    render-semantics deviation. Drives the REAL _check_tile_cap on a
+    stub (ADVICE r4: the old test asserted a local dict literal)."""
+    import types
+
+    from isogs_slam_tpu.ops.rasterize import RasterConfig
+    from isogs_slam_tpu.slam.pipeline import (
+        ADAPTIVE_MAX_PER_TILE_DEFAULT, SLAM)
+
+    assert ADAPTIVE_MAX_PER_TILE_DEFAULT is True
+
+    stub = types.SimpleNamespace(
+        rcfg=RasterConfig(max_per_tile=512),
+        config={"raster": {}},       # no key pinned -> shipped default
+        stats={},
+        _mv_phase=None,
+        _note_isect_demand=lambda self, n: None,
+    )
+    stub._note_isect_demand = lambda n: None
+    # 2% of true candidates dropped -> with the default ON the cap must
+    # escalate 512 -> 768
+    SLAM._check_tile_cap(stub, np.array([20, 1000, 500], np.int64))
+    assert stub.rcfg.max_per_tile == 768
+    assert stub.stats["tile_cap_dropped_frac"] == [0.02]
+    # pinning the key False must disable escalation (warning path only)
+    stub2 = types.SimpleNamespace(
+        rcfg=RasterConfig(max_per_tile=512),
+        config={"raster": {"adaptive_max_per_tile": False}},
+        stats={}, _mv_phase=None, _note_isect_demand=lambda n: None)
+    SLAM._check_tile_cap(stub2, np.array([20, 1000, 500], np.int64))
+    assert stub2.rcfg.max_per_tile == 512
