@@ -189,6 +189,194 @@ def test_nerfcapture_loader(tmp_path):
     assert intr[0, 0] == 50.0
 
 
+def test_icl_loader(tmp_path):
+    """ICL-NUIM layout: rgb/*.png + depth/*.png + <seq>.gt.sim (3 rows
+    of 4 floats per frame — gradslam_datasets/icl.py)."""
+    seq = tmp_path / "living_room_traj0"
+    (seq / "rgb").mkdir(parents=True)
+    (seq / "depth").mkdir()
+    sim_lines = []
+    for i in range(3):
+        _write_jpg(seq / "rgb" / f"{i:04d}.png", np.full((48, 64, 3), 40))
+        _write_png16(seq / "depth" / f"{i:04d}.png", np.full((48, 64), 3000))
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.2 * i
+        for r in range(3):
+            sim_lines.append(" ".join(str(x) for x in c2w[r, :4]))
+        sim_lines.append("")
+    (seq / "livingRoom0.gt.sim").write_text("\n".join(sim_lines) + "\n")
+    ds = get_dataset(_cam_cfg() | {"dataset_name": "icl"}, str(tmp_path),
+                     "living_room_traj0", desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 3
+    _, depth, _, pose = ds[2]
+    assert abs(float(depth[0, 0, 0]) - 3.0) < 1e-5
+    assert abs(pose[0, 3] - 0.4) < 1e-5  # relative to frame 0
+
+
+def test_azure_loader_log_flat_and_absent(tmp_path):
+    """Azure Kinect: color/*.jpg + depth/*.png; poses from a .log
+    (5 lines/frame), a flat-16-float file, or identity when absent
+    (gradslam_datasets/azure.py)."""
+    seq = tmp_path / "capture0"
+    (seq / "color").mkdir(parents=True)
+    (seq / "depth").mkdir()
+    log_lines, flat_lines = [], []
+    for i in range(3):
+        _write_jpg(seq / "color" / f"{i:05d}.jpg", np.full((48, 64, 3), 60))
+        _write_png16(seq / "depth" / f"{i:05d}.png", np.full((48, 64), 1000))
+        c2w = np.eye(4)
+        c2w[2, 3] = 0.1 * i
+        log_lines.append(f"{i} {i} {i + 1}")
+        log_lines.extend(" ".join(str(x) for x in c2w[r]) for r in range(4))
+        flat_lines.append(" ".join(str(x) for x in c2w.reshape(-1)))
+    (seq / "odometry.log").write_text("\n".join(log_lines) + "\n")
+    (seq / "poses_flat.txt").write_text("\n".join(flat_lines) + "\n")
+    cfg = _cam_cfg() | {"dataset_name": "azure"}
+    for odom in ("odometry.log", "poses_flat.txt"):
+        ds = get_dataset(cfg, str(tmp_path), "capture0", odomfile=odom,
+                         desired_height=48, desired_width=64)
+        assert len(ds) == 3
+        _, depth, _, pose = ds[1]
+        assert abs(float(depth[0, 0, 0]) - 1.0) < 1e-5
+        assert abs(pose[2, 3] - 0.1) < 1e-5, odom
+    # reference behavior: identity poses + warning when no odom file
+    ds = get_dataset(cfg, str(tmp_path), "capture0", desired_height=48,
+                     desired_width=64)
+    assert np.allclose(ds[2][3], np.eye(4), atol=1e-6)
+
+
+def _npy_pose_seq(seq, n, rgb_ext):
+    (seq / "rgb").mkdir(parents=True)
+    (seq / "depth").mkdir()
+    (seq / "poses").mkdir()
+    for i in range(n):
+        _write_jpg(seq / "rgb" / f"{i}{rgb_ext}", np.full((48, 64, 3), 30))
+        _write_png16(seq / "depth" / f"{i}.png", np.full((48, 64), 2500))
+        c2w = np.eye(4)
+        c2w[1, 3] = 0.3 * i   # y-translation: sign-flipped by P_FLIP
+        np.save(seq / "poses" / f"{i}.npy", c2w)
+
+
+@pytest.mark.parametrize("name,rgb_ext", [("record3d", ".png"),
+                                          ("realsense", ".jpg")])
+def test_record3d_realsense_loaders(tmp_path, name, rgb_ext):
+    """Record3D/RealSense layout: rgb + depth + per-frame .npy c2w poses
+    conjugated by P=diag(1,-1,-1,1) (ARKit -> OpenCV convention,
+    gradslam_datasets/{record3d,realsense}.py)."""
+    seq = tmp_path / "stream0"
+    _npy_pose_seq(seq, 3, rgb_ext)
+    ds = get_dataset(_cam_cfg() | {"dataset_name": name}, str(tmp_path),
+                     "stream0", desired_height=48, desired_width=64)
+    assert len(ds) == 3
+    _, depth, _, pose = ds[2]
+    assert abs(float(depth[0, 0, 0]) - 2.5) < 1e-5
+    # P c2w P^T flips the y-translation sign; normalization vs the
+    # identity frame 0 preserves it
+    assert abs(pose[1, 3] - (-0.6)) < 1e-5
+
+
+def test_ai2thor_loader(tmp_path):
+    """AI2Thor layout: color/*.png (not .jpg), depth/*.png, pose/*.txt
+    (gradslam_datasets/ai2thor.py)."""
+    seq = tmp_path / "floorplan"
+    for sub in ("color", "depth", "pose"):
+        (seq / sub).mkdir(parents=True)
+    for i in range(3):
+        _write_jpg(seq / "color" / f"{i}.png", np.full((48, 64, 3), 80))
+        _write_png16(seq / "depth" / f"{i}.png", np.full((48, 64), 4000))
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.25 * i
+        np.savetxt(seq / "pose" / f"{i}.txt", c2w)
+    ds = get_dataset(_cam_cfg() | {"dataset_name": "ai2thor"},
+                     str(tmp_path), "floorplan", desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 3
+    _, depth, _, pose = ds[1]
+    assert abs(float(depth[0, 0, 0]) - 4.0) < 1e-5
+    assert abs(pose[0, 3] - 0.25) < 1e-5
+
+
+def _replicav2_split(root, split, n, t0):
+    base = root / "apartment" / "imap" / split
+    (base / "rgb").mkdir(parents=True)
+    (base / "depth").mkdir()
+    lines = []
+    for i in range(n):
+        _write_jpg(base / "rgb" / f"rgb_{i}.png", np.full((48, 64, 3), 20))
+        _write_png16(base / "depth" / f"depth_{i}.png",
+                     np.full((48, 64), 1500))
+        c2w = np.eye(4)
+        c2w[0, 3] = t0 + 0.1 * i
+        lines.append(" ".join(str(x) for x in c2w.reshape(-1)))
+    (base / "traj_w_c.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_replicav2_loader_train_and_nvs(tmp_path):
+    """ReplicaV2: imap/00 train split; imap/01 NVS split prepends the
+    FIRST train frame (gradslam_datasets/replica.py:69-148)."""
+    _replicav2_split(tmp_path, "00", 3, 0.0)
+    _replicav2_split(tmp_path, "01", 2, 5.0)
+    cfg = _cam_cfg() | {"dataset_name": "replicav2"}
+    ds = get_dataset(cfg, str(tmp_path), "apartment", use_train_split=True,
+                     desired_height=48, desired_width=64)
+    assert len(ds) == 3
+    _, depth, _, pose = ds[1]
+    assert abs(float(depth[0, 0, 0]) - 1.5) < 1e-5
+    assert abs(pose[0, 3] - 0.1) < 1e-5
+    # NVS split: first train frame + imap/01 frames, poses normalized to
+    # the prepended train frame (identity at index 0)
+    ds_nvs = get_dataset(cfg, str(tmp_path), "apartment",
+                         use_train_split=False, desired_height=48,
+                         desired_width=64)
+    assert len(ds_nvs) == 3   # 1 train + 2 test
+    assert np.allclose(ds_nvs[0][3], np.eye(4), atol=1e-6)
+    assert abs(ds_nvs[1][3][0, 3] - 5.0) < 1e-5
+
+
+def test_scannetpp_loader_train_and_test(tmp_path):
+    """ScanNet++ DSLR: train_test_lists.json split +
+    transforms_undistorted.json metadata, undistorted images/depths,
+    P-conjugated poses; NVS mode prepends the first train frame
+    (gradslam_datasets/scannetpp.py:18-141)."""
+    base = tmp_path / "scene_ab1" / "dslr"
+    (base / "undistorted_images").mkdir(parents=True)
+    (base / "undistorted_depths").mkdir()
+    (base / "nerfstudio").mkdir()
+    names = [f"DSC{i:05d}.JPG" for i in range(4)]
+    frames, test_frames = [], []
+    for i, n in enumerate(names):
+        _write_jpg(base / "undistorted_images" / n,
+                   np.full((48, 64, 3), 100))
+        _write_png16(base / "undistorted_depths" / n.replace(".JPG", ".png"),
+                     np.full((48, 64), 2000))
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.1 * i
+        entry = {"file_path": n, "transform_matrix": c2w.tolist()}
+        (frames if i < 3 else test_frames).append(entry)
+    meta = {"h": 48, "w": 64, "fl_x": 50.0, "fl_y": 50.0, "cx": 31.5,
+            "cy": 23.5, "frames": frames, "test_frames": test_frames}
+    (base / "nerfstudio" / "transforms_undistorted.json").write_text(
+        json.dumps(meta))
+    (base / "train_test_lists.json").write_text(
+        json.dumps({"train": names[:3], "test": names[3:]}))
+    ds = get_dataset({"dataset_name": "scannetpp"}, str(tmp_path),
+                     "scene_ab1", use_train_split=True, desired_height=48,
+                     desired_width=64)
+    assert len(ds) == 3
+    _, depth, intr, pose = ds[1]
+    assert abs(float(depth[0, 0, 0]) - 2.0) < 1e-3
+    assert intr[0, 0] == 50.0
+    assert abs(pose[0, 3] - 0.1) < 1e-5
+    # NVS: first train frame prepended to the 1-frame test split
+    ds_nvs = get_dataset({"dataset_name": "scannetpp"}, str(tmp_path),
+                         "scene_ab1", use_train_split=False,
+                         desired_height=48, desired_width=64)
+    assert len(ds_nvs) == 2
+    assert np.allclose(ds_nvs[0][3], np.eye(4), atol=1e-6)
+    assert abs(ds_nvs[1][3][0, 3] - 0.3) < 1e-5
+
+
 def test_multichip_config_carries_parallel_views():
     cfg = load_experiment_config(
         os.path.join(REPO, "configs", "replica/splatam_mc.py"))
