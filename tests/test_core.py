@@ -68,6 +68,7 @@ def test_adam_matches_torch():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.experimental
 def test_lazy_adam_visit_time_equals_dense():
     """Lazy Adam: a row's trajectory equals dense Adam run on just its
     visited gradients (the subset-mode consistency contract), and rows
@@ -108,6 +109,7 @@ def test_lazy_adam_visit_time_equals_dense():
     assert float(jnp.abs(st.mu[3]).max()) == 0.0
 
 
+@pytest.mark.experimental
 def test_lazy_adam_all_touched_matches_dense():
     """With every row touched every iteration (the sub=1 stripe case),
     lazy and dense Adam produce identical trajectories."""
@@ -126,6 +128,7 @@ def test_lazy_adam_all_touched_matches_dense():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.experimental
 def test_lazy_adam_surgery_preserves_rcount():
     """mask_rows gathers and zero_rows keeps the per-row counts."""
     p = jnp.ones((4, 2))

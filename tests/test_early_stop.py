@@ -17,7 +17,10 @@ import pytest
 from isogs_slam_tpu.slam.losses import LossOutputs
 from isogs_slam_tpu.slam.tracking import TrackingConfig, adam_pose_loop
 
-pytestmark = pytest.mark.smoke
+# adjudicated-loser knob surface (slam/experimental.py): out of
+# the default suite, runnable with `pytest -m experimental` for
+# re-adjudication with new evidence (VERDICT r4 item 8)
+pytestmark = pytest.mark.experimental
 
 
 def _loss_fn(floor):

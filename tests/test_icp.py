@@ -23,7 +23,10 @@ from isogs_slam_tpu.slam.icp import (GNConfig, apply_increment,
 from isogs_slam_tpu.utils.transforms import (pose_to_w2c, quat_mult,
                                              transform_to_frame)
 
-pytestmark = pytest.mark.smoke
+# adjudicated-loser knob surface (slam/experimental.py): out of
+# the default suite, runnable with `pytest -m experimental` for
+# re-adjudication with new evidence (VERDICT r4 item 8)
+pytestmark = pytest.mark.experimental
 
 H, W = 64, 80
 

@@ -15,7 +15,10 @@ from isogs_slam_tpu.core.camera import Camera
 from isogs_slam_tpu.ops.rasterize import (RasterConfig, bin_gaussians,
                                           project_gaussians, render_rgbd_sil)
 
-pytestmark = pytest.mark.smoke
+# adjudicated-loser knob surface (slam/experimental.py): out of
+# the default suite, runnable with `pytest -m experimental` for
+# re-adjudication with new evidence (VERDICT r4 item 8)
+pytestmark = pytest.mark.experimental
 
 
 def _scene(n=500, seed=11, aniso=True):

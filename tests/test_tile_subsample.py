@@ -453,7 +453,7 @@ def test_stripe_cycle_covers_all_rows_each_cycle():
         assert per_cycle[0] != per_cycle[1]   # reshuffled across cycles
 
 
-@pytest.mark.smoke
+@pytest.mark.experimental
 def test_vmap_bins_matches_serial_map_frame():
     """mapping.vmap_bins batches the per-slot binnings; the phase result
     must be identical to the serial lax.map path."""

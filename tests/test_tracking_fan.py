@@ -20,7 +20,10 @@ from isogs_slam_tpu.slam.tracking import (TrackingConfig, track_frame,
                                           track_frame_pyramid)
 from isogs_slam_tpu.utils.transforms import transform_to_frame
 
-pytestmark = pytest.mark.smoke
+# adjudicated-loser knob surface (slam/experimental.py): out of
+# the default suite, runnable with `pytest -m experimental` for
+# re-adjudication with new evidence (VERDICT r4 item 8)
+pytestmark = pytest.mark.experimental
 
 H, W = 64, 80
 
