@@ -1,0 +1,120 @@
+#!/usr/bin/env bash
+# Round-5 session-2 chain: the REAL Replica config path at full scale,
+# on bridge-written on-disk data (the closest evidence this environment
+# can produce to a real-data run — VERDICT r4 missing item 1).
+#   Launch AFTER tpu_chain_r5s1.sh exits:
+#   nohup bash bash_scripts/tpu_chain_r5s2.sh > /tmp/chain_r5s2.log 2>&1 &
+#
+# Steps:
+#   0. realdata        — real Replica room0 if present (self-skips)
+#   1. bridge_write    — synth scene -> exact Replica disk layout at
+#                        680x1200 (tools/synth_to_replica.py, on-TPU
+#                        render)
+#   2. bridge_room0    — configs/replica/splatam.py UNMODIFIED against
+#                        it (only path overrides): YAML intrinsics ->
+#                        ReplicaDataset -> full reference iters/window
+#   3. bridge_room0f   — same through configs/replica/splatam_fast.py
+# Quality expectation: the real config runs 10 tracking iters (vs the
+# ablation battery's 40) on a scene with ~3x Replica's pixel motion, so
+# ATE lands above the full_res battery's 0.135 cm — the gate here is
+# "the REAL config path works end-to-end at scale and the metrics are
+# sane", not the synthetic-protocol contract.
+set -u
+cd "$(dirname "$0")/.."
+
+TS=$(date +%Y%m%d_%H%M%S)
+OUT="experiments/tpu_chain_r5s2_${TS}"
+ART="artifacts/r5s2"
+mkdir -p "$OUT" "$ART"
+CHAIN_MAX_S=${CHAIN_MAX_S:-7200}
+T0=$(date +%s)
+STATUS="$ART/status.tsv"
+echo -e "step\trc\tseconds\tnote" > "$STATUS"
+echo "== chain r5s2 -> $OUT (pid $$, deadline ${CHAIN_MAX_S}s)"
+
+remaining() { echo $(( CHAIN_MAX_S - ($(date +%s) - T0) )); }
+
+probe() {
+    timeout 90 python - <<'EOF' > /dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.ones((1024, 1024))
+(x @ x).block_until_ready()
+EOF
+}
+
+n=0
+until probe; do
+    n=$((n + 1))
+    echo "== probe $n failed ($(date +%H:%M:%S)); sleeping 600s"
+    if [ "$n" -ge 6 ] || [ "$(remaining)" -lt 3000 ]; then
+        echo "== giving up"; exit 1
+    fi
+    sleep 600
+done
+echo "== tunnel UP at $(date +%H:%M:%S); starting"
+
+commit_art() {
+    git add -A "$ART" 2>/dev/null
+    git commit -q -m "$1" -- "$ART" 2>/dev/null \
+        && echo "== committed: $1" || true
+}
+
+run() {
+    local name="$1" to="$2"; shift 2
+    local rem; rem=$(remaining)
+    if [ "$rem" -lt 600 ]; then
+        echo "== [$name] SKIPPED (deadline)" | tee -a "$OUT/log.txt"
+        echo -e "$name\tskipped\t0\tdeadline" >> "$STATUS"
+        RUN_RC=125
+        return
+    fi
+    [ "$to" -gt "$rem" ] && to=$rem
+    echo "== [$name] $* ($(date +%H:%M:%S), timeout ${to}s)" | tee -a "$OUT/log.txt"
+    local s; s=$(date +%s)
+    timeout "$to" "$@" 2>&1 | tee "$OUT/$name.txt" | tail -3
+    RUN_RC=${PIPESTATUS[0]}
+    echo "== [$name] exit $RUN_RC" | tee -a "$OUT/log.txt"
+    echo -e "$name\t$RUN_RC\t$(( $(date +%s) - s ))\t-" >> "$STATUS"
+}
+
+# 0. real-data contingency
+run realdata 3600 bash bash_scripts/replica_room0_if_present.sh 200
+
+# 1. write the bridge dataset (TPU renders the 680x1200 frames)
+BR="experiments/synth_replica"
+if [ ! -f "$BR/room0/traj.txt" ]; then
+    run bridge_write 2400 python -m isogs_slam_tpu.tools.synth_to_replica \
+        --out "$BR" --frames 35 --height 680 --width 1200 \
+        --traj-step 0.004
+fi
+
+export SPLATAM_SCENE_INDEX=0   # room0
+
+bridge_run() { # bridge_run <name> <config> <run_dir>
+    local name="$1" cfg="$2" rdir="$3"
+    rm -rf "experiments/Replica/$rdir"
+    run "$name" 6000 \
+        python -m isogs_slam_tpu.scripts.splatam "$cfg" --end-at 30 \
+        --set data.basedir="$BR" \
+        --set data.gradslam_data_cfg="$BR/synthetic_replica.yaml" \
+        --set workdir=./experiments/Replica
+    [ "$RUN_RC" = 125 ] && return
+    local src="experiments/Replica/$rdir"
+    if [ -s "$src/eval/eval_summary.json" ]; then
+        cp "$src/eval/eval_summary.json" "$ART/${name}_eval_summary.json"
+        cp "$src/runtime_stats.json" "$ART/${name}_runtime_stats.json" \
+            2>/dev/null || true
+        grep "\[progress\]" "$OUT/$name.txt" > "$ART/${name}_progress.txt" \
+            2>/dev/null || true
+        commit_art "Measurement artifacts: ${name} — REAL Replica config on bridge data (r5s2)"
+    else
+        commit_art "Measurement status: ${name} FAILED rc=$RUN_RC (r5s2 chain)"
+    fi
+}
+
+# 2+3. the real config paths, unmodified semantics
+bridge_run bridge_room0 configs/replica/splatam.py room0_0
+bridge_run bridge_room0f configs/replica/splatam_fast.py room0_fast_0
+
+echo "== chain done ($(date +%H:%M:%S))"
+commit_art "Measurement artifacts: r5s2 status"
