@@ -242,6 +242,44 @@ def main(argv=None) -> int:
         "frame_s": round(t_ts, 4),
         "track_iters_per_s": round(tcfg.num_iters / t_ts, 2)})
     print(f"serial track_frame: {t_ts:.3f}s/frame")
+
+    # The REPLICATED prologue of the sharded program (pose transform +
+    # projection + binning + GT tile-izing): on the virtual mesh every
+    # "device" re-runs it on the SAME core, so the measured overhead
+    # grows ~linearly in B — the shared-core artifact behind the
+    # round-4 non-monotone B=8 row. On a real pod the replicas run
+    # CONCURRENTLY (1x wall-clock), so the honest extrapolation is the
+    # Amdahl split below, not B / overhead.
+    from isogs_slam_tpu.ops.rasterize import (bin_gaussians,
+                                              image_to_tiles,
+                                              project_gaussians)
+    from isogs_slam_tpu.utils.transforms import transform_to_frame
+
+    @jax.jit
+    def prologue(params, alive, q, t, im, d):
+        mc0, qc0 = transform_to_frame(params.means3d,
+                                      params.unnorm_rotations, q, t,
+                                      gaussians_grad=False,
+                                      camera_grad=False)
+        proj0 = project_gaussians(mc0, qc0, params.log_scales, alive, cam,
+                                  margin_px=tcfg.bin_margin_px)
+        binning = bin_gaussians(
+            proj0, cam, rcfg,
+            opacity=jax.nn.sigmoid(params.logit_opacities[:, 0]),
+            cull_slack_px=tcfg.bin_margin_px)
+        gt_tiles = image_to_tiles(jnp.concatenate([im, d], axis=0), cam)
+        return binning.tile_gauss, binning.tile_count, gt_tiles
+
+    t_pro = timed(lambda: prologue(params0, alive0, q0, t0, gt_im,
+                                   gt_d)[0])
+    t_shard = max(t_ts - t_pro, 1e-9)   # the tile-divisible remainder
+    results["rows"].append({
+        "mode": "track_prologue_replicated", "B": 1,
+        "frame_s": round(t_pro, 4),
+        "serial_fraction": round(t_pro / t_ts, 3)})
+    print(f"track prologue (replicated part): {t_pro:.3f}s "
+          f"({t_pro / t_ts:.1%} of serial frame)")
+
     for B in (1, 2, 4, 8):
         if B > jax.device_count():
             continue
@@ -250,16 +288,28 @@ def main(argv=None) -> int:
         t = timed(lambda fn=fn: fn(params0, alive0, q0, t0, gt_im,
                                    gt_d).quat)
         ovh_t = t / t_ts
+        # Amdahl extrapolation for a real B-chip slice: replicated
+        # prologue at 1x wall + sharded remainder / B. ICI collective
+        # cost (one ~10-scalar psum per Adam iter) is not timeable on a
+        # 1-chip tunnel and is neglected — stated, not hidden.
+        t_pod = t_pro + t_shard / B
+        # implied per-B glue beyond the shared-core model
+        # t_virtual(B) ~ B * t_pro + t_shard + glue(B)
+        glue = t - (B * t_pro + t_shard)
         results["rows"].append({
             "mode": "track_tiles", "B": B, "frame_s": round(t, 4),
             "track_iters_per_s": round(tcfg.num_iters / t, 2),
             "overhead_vs_serial": round(ovh_t, 3),
-            # on a real B-chip slice the per-tile compositing divides
-            # by B while the glue measured here stays, so predicted
-            # frame wall ~ serial * overhead / B (extrapolation)
-            "predicted_pod_speedup": round(B / ovh_t, 2)})
+            "virtual_glue_s": round(glue, 4),
+            "predicted_pod_frame_s": round(t_pod, 4),
+            "predicted_pod_speedup": round(t_ts / t_pod, 2),
+            "prediction_model": "amdahl: prologue + sharded/B "
+                                "(B/overhead invalid: virtual overhead "
+                                "charges the replicated prologue B "
+                                "times)"})
         print(f"track_tiles B={B}: {t:.3f}s/frame "
-              f"({t / t_ts:.2f}x serial)")
+              f"({t / t_ts:.2f}x serial; amdahl pod "
+              f"{t_ts / t_pod:.2f}x)")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
