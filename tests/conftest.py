@@ -21,3 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the shard_map suites FIRST. The 8-device shard_map programs
+    segfault XLA:CPU's compiler when compiled late in a long session
+    (reproduced twice at the identical position in the 142-test run,
+    inside backend_compile_and_load via test_track_sharded; the same
+    tests pass in a fresh process). Compiling them before the session
+    accumulates ~130 tests of compile state sidesteps the crash; the
+    tests themselves are order-independent."""
+    front = [it for it in items
+             if "sharded" in it.nodeid or "parallel" in it.nodeid]
+    rest = [it for it in items if it not in front]
+    items[:] = front + rest

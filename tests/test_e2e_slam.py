@@ -118,13 +118,24 @@ def test_adaptive_tile_cap_escalation(tmp_path):
     slam._check_tile_cap(jnp.asarray([100, 1000]))
     assert slam.rcfg.max_per_tile == 1024             # capped
 
+    # unpinned config: the shipped default is adaptive ON (round-4 flip,
+    # pipeline.ADAPTIVE_MAX_PER_TILE_DEFAULT) -> escalates
     cfg2 = _tiny_config(tmp_path)
-    cfg2["run_name"] = "e2e_warn"
-    slam2 = SLAM(cfg2)                                # adaptive off
+    cfg2["run_name"] = "e2e_default"
+    slam2 = SLAM(cfg2)
     K = slam2.rcfg.max_per_tile
     slam2._check_tile_cap(jnp.asarray([100, 1000]))
-    assert slam2.rcfg.max_per_tile == K               # warns only
-    assert slam2._warned_tile_cap
+    assert slam2.rcfg.max_per_tile == min(1024, K + 256)
+
+    # pinned OFF: warn-only path
+    cfg3 = _tiny_config(tmp_path)
+    cfg3["run_name"] = "e2e_warn"
+    cfg3["raster"]["adaptive_max_per_tile"] = False
+    slam3 = SLAM(cfg3)
+    K = slam3.rcfg.max_per_tile
+    slam3._check_tile_cap(jnp.asarray([100, 1000]))
+    assert slam3.rcfg.max_per_tile == K               # warns only
+    assert slam3._warned_tile_cap
 
 
 @pytest.mark.slow
