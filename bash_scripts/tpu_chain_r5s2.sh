@@ -7,13 +7,19 @@
 #
 # Steps:
 #   0. realdata        — real Replica room0 if present (self-skips)
-#   1. bridge_write    — synth scene -> exact Replica disk layout at
+#   1. fastlegal8 x3   — the round-5 combined fast candidate (track
+#                        sub4 + map sub8 + tail + kcap): msub8 passed
+#                        component adjudication in r5s1 (median 0.136 /
+#                        +1.96 dB); this is the combined-seal battery
+#   2. long100fs8      — its own 100-frame drift tiebreak vs long100sn
+#   3. contracts8      — adjudicate fastlegal8/msub8sn with that pair
+#   4. bridge_write    — synth scene -> exact Replica disk layout at
 #                        680x1200 (tools/synth_to_replica.py, on-TPU
 #                        render)
-#   2. bridge_room0    — configs/replica/splatam.py UNMODIFIED against
+#   5. bridge_room0    — configs/replica/splatam.py UNMODIFIED against
 #                        it (only path overrides): YAML intrinsics ->
 #                        ReplicaDataset -> full reference iters/window
-#   3. bridge_room0f   — same through configs/replica/splatam_fast.py
+#   6. bridge_room0f   — same through configs/replica/splatam_fast.py
 # Quality expectation: the real config runs 10 tracking iters (vs the
 # ablation battery's 40) on a scene with ~3x Replica's pixel motion, so
 # ATE lands above the full_res battery's 0.135 cm — the gate here is
@@ -26,7 +32,7 @@ TS=$(date +%Y%m%d_%H%M%S)
 OUT="experiments/tpu_chain_r5s2_${TS}"
 ART="artifacts/r5s2"
 mkdir -p "$OUT" "$ART"
-CHAIN_MAX_S=${CHAIN_MAX_S:-7200}
+CHAIN_MAX_S=${CHAIN_MAX_S:-12600}   # 3.5 h
 T0=$(date +%s)
 STATUS="$ART/status.tsv"
 echo -e "step\trc\tseconds\tnote" > "$STATUS"
@@ -80,7 +86,56 @@ run() {
 # 0. real-data contingency
 run realdata 3600 bash bash_scripts/replica_room0_if_present.sh 200
 
-# 1. write the bridge dataset (TPU renders the 680x1200 frames)
+quality_run() { # quality_run <name> <timeout> <config> <sequence> <end_at> [extra --set]
+    local name="$1" to="$2" cfg="$3" seq="$4" end="$5"; shift 5
+    rm -rf "experiments/Synthetic/${seq}"
+    run "$name" "$to" python -m isogs_slam_tpu.scripts.splatam "$cfg" \
+        --end-at "$end" "$@"
+    [ "$RUN_RC" = 125 ] && return
+    local ok=1
+    for f in eval/eval_summary.json runtime_stats.json; do
+        local src="experiments/Synthetic/${seq}/${f}"
+        if [ -s "$src" ]; then
+            cp "$src" "$ART/${name}_$(basename "$f")"
+        else
+            ok=0
+        fi
+    done
+    grep "\[progress\]" "$OUT/$name.txt" > "$ART/${name}_progress.txt" \
+        2>/dev/null || true
+    if [ "$ok" = 1 ]; then
+        commit_art "Measurement artifacts: ${name} quality run (r5s2 chain)"
+    else
+        commit_art "Measurement status: ${name} FAILED rc=$RUN_RC (r5s2 chain)"
+    fi
+}
+
+A=isogs_slam_tpu/configs/synthetic/ablations
+
+# 1. the combined round-5 fast candidate, 3 seeds
+quality_run fastlegal8_s0 4000 "$A/full_res_fastlegal8.py" \
+    abl_fastlegal8_s0 30 --set run_name=abl_fastlegal8_s0
+quality_run fastlegal8_s1 4000 "$A/full_res_fastlegal8.py" \
+    abl_fastlegal8_s1 30 --set seed=1 --set run_name=abl_fastlegal8_s1
+quality_run fastlegal8_s2 4000 "$A/full_res_fastlegal8.py" \
+    abl_fastlegal8_s2 30 --set seed=2 --set run_name=abl_fastlegal8_s2
+
+# 2. its own 100-frame drift tiebreak (control: r5s1 long100sn pair)
+quality_run long100fs8_s0 9000 "$A/full_res_fastlegal8.py" \
+    abl_long100fs8_s0 100 \
+    --set data.num_frames=110 --set run_name=abl_long100fs8_s0
+
+# 3. adjudicate the sub8 family with that pair
+run contracts8 300 python -m isogs_slam_tpu.tools.contracts \
+    --control silnorm \
+    --tiebreak long100sn:long100fs8 \
+    --tiebreak-covers fastlegal8,msub8sn \
+    artifacts/r5s2 artifacts/r5s1 artifacts/r4s4 artifacts/r4s3 \
+    artifacts/r4s1
+cp "$OUT/contracts8.txt" "$ART/contracts8.txt" 2>/dev/null || true
+commit_art "Measurement artifacts: r5s2 sub8-family contracts"
+
+# 4. write the bridge dataset (TPU renders the 680x1200 frames)
 BR="experiments/synth_replica"
 if [ ! -f "$BR/room0/traj.txt" ]; then
     run bridge_write 2400 python -m isogs_slam_tpu.tools.synth_to_replica \
@@ -112,7 +167,7 @@ bridge_run() { # bridge_run <name> <config> <run_dir>
     fi
 }
 
-# 2+3. the real config paths, unmodified semantics
+# 5+6. the real config paths, unmodified semantics
 bridge_run bridge_room0 configs/replica/splatam.py room0_0
 bridge_run bridge_room0f configs/replica/splatam_fast.py room0_fast_0
 
