@@ -17,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
@@ -35,3 +36,23 @@ def pytest_collection_modifyitems(config, items):
              if "sharded" in it.nodeid or "parallel" in it.nodeid]
     rest = [it for it in items if it not in front]
     items[:] = front + rest
+
+
+_TESTS_SINCE_CLEAR = 0
+
+
+@pytest.fixture(autouse=True)
+def _periodic_xla_cache_clear():
+    """XLA:CPU segfaults inside backend_compile_and_load once a single
+    process accumulates enough compiled executables (~130 tests in;
+    reproduced at the same POSITION across different test orders, each
+    crashing test passing in a fresh process). Dropping the in-memory
+    executable caches every 20 tests keeps the session under the
+    resource ceiling; compile time is repaid from the persistent
+    compilation cache where enabled."""
+    global _TESTS_SINCE_CLEAR
+    yield
+    _TESTS_SINCE_CLEAR += 1
+    if _TESTS_SINCE_CLEAR >= 20:
+        _TESTS_SINCE_CLEAR = 0
+        jax.clear_caches()
