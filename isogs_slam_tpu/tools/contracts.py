@@ -107,6 +107,13 @@ def apply_tiebreak(groups, rows, noise, tiebreak: str, covers: str,
     for g, n, da, dp, verdict in rows:
         if g in covered and verdict.startswith("PROVISIONAL"):
             verdict = f"{long_verdict} (long100)"
+        elif g in covered and verdict.startswith("FAIL") \
+                and long_verdict == "PASS":
+            # the two protocols disagree: a 30-frame FAIL the tiebreaker
+            # cannot upgrade (it only breaks ties), but hiding the
+            # long-run evidence would be dishonest in the other
+            # direction — label the conflict, claim nothing
+            verdict = "CONFLICT (30f FAIL, long100 PASS)"
         new_rows.append((g, n, da, dp, verdict))
     summary = (f"tiebreak {cand_name} vs {ctrl_name} at length: ATE "
                f"{fL_ate:.3f} vs {cL_ate:.3f} cm (d{d_ate:+.3f}, margin "
@@ -144,10 +151,10 @@ def main(argv=None):
             groups, rows, noise, args.tiebreak, args.tiebreak_covers,
             args.rel_tol, args.psnr_tol)
         print(summary)
-        # the long groups are tiebreak EVIDENCE (different frame count),
-        # not candidates against the 30-frame control — drop their rows
-        long_names = {n for n in args.tiebreak.split(":") if n}
-        rows = [r for r in rows if r[0] not in long_names]
+        # long-run groups are tiebreak EVIDENCE (different frame
+        # count), never candidates against the 30-frame control — drop
+        # every long-protocol row, not just this invocation's pair
+        rows = [r for r in rows if not r[0].startswith("long")]
     print(f"{'config':<18} {'n':>2} {'dATE(cm)':>9} {'dPSNR':>7} verdict")
     for g, n, d_ate, d_psnr, verdict in rows:
         print(f"{g:<18} {n:>2} {d_ate:>+9.3f} {d_psnr:>+7.2f} {verdict}")

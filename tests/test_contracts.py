@@ -105,6 +105,21 @@ def test_tiebreak_fails_on_long_run_drift():
     assert v["fastlegal"] == "FAIL (long100)"
 
 
+def test_tiebreak_flags_conflict_on_covered_fail():
+    from isogs_slam_tpu.tools.contracts import apply_tiebreak
+    groups = _silnorm_regime_groups()
+    # a covered config that FAILS at 30 frames but whose long run passes
+    groups["sub8ish"] = g((0.20, 37.0), (0.20, 37.0), (0.20, 37.0))
+    _, noise, _, rows = adjudicate(groups, "ctl")
+    v0 = {r[0]: r[4] for r in rows}
+    assert v0["sub8ish"].startswith("FAIL")
+    rows2, verdict, _ = apply_tiebreak(
+        groups, rows, noise, "long_ctl:long_fast", "sub8ish")
+    v = {r[0]: r[4] for r in rows2}
+    assert verdict == "PASS"
+    assert v["sub8ish"] == "CONFLICT (30f FAIL, long100 PASS)"
+
+
 def test_tiebreak_missing_groups_degrades_gracefully():
     from isogs_slam_tpu.tools.contracts import apply_tiebreak
     groups = {"ctl": g((1.0, 30.0), (1.0, 30.0), (1.0, 30.0)),
