@@ -151,10 +151,11 @@ def main(argv=None):
             groups, rows, noise, args.tiebreak, args.tiebreak_covers,
             args.rel_tol, args.psnr_tol)
         print(summary)
-        # long-run groups are tiebreak EVIDENCE (different frame
-        # count), never candidates against the 30-frame control — drop
-        # every long-protocol row, not just this invocation's pair
-        rows = [r for r in rows if not r[0].startswith("long")]
+    # groups from other protocols are never candidates against the
+    # 30-frame control: long-run rows are tiebreak evidence; bridge_*
+    # rows run the REAL Replica config (different iteration counts)
+    rows = [r for r in rows
+            if not r[0].startswith(("long", "bridge"))]
     print(f"{'config':<18} {'n':>2} {'dATE(cm)':>9} {'dPSNR':>7} verdict")
     for g, n, d_ate, d_psnr, verdict in rows:
         print(f"{g:<18} {n:>2} {d_ate:>+9.3f} {d_psnr:>+7.2f} {verdict}")
