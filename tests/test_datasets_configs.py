@@ -15,6 +15,7 @@ pytestmark = pytest.mark.smoke  # sub-5-min CI subset
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = ["replica/splatam.py", "replica/splatam_s.py",
+           "replica/splatam_fast.py", "replica/splatam_fast8.py",
            "replica/splatam_mc.py", "tum/splatam.py",
            "scannet/splatam.py", "scannetpp/splatam.py",
            "replica_v2/splatam.py", "iphone/splatam.py",
