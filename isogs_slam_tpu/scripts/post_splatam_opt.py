@@ -58,10 +58,15 @@ class PostSLAMOpt(OfflineGS):
             jnp.float32))
         self.state = st
 
-        # estimated trajectory replaces the GT poses for optimization
+        # estimated trajectory replaces the GT poses for optimization.
+        # The pose arrays are ALLOCATED at the SLAM run's num_frames but
+        # only optimized through the checkpoint's frame index — clamp to
+        # frame+1 so an interrupted run's unvisited (garbage) tail poses
+        # never enter the optimization (reference
+        # scripts/post_splatam_opt.py:160-386 assumes a completed run).
         est_rots = np.asarray(data["cam_unnorm_rots"])[0]
         est_trans = np.asarray(data["cam_trans"])[0]
-        T = min(self.num_frames, est_rots.shape[1])
+        T = min(self.num_frames, est_rots.shape[1], frame + 1)
         self.num_frames = T
         self.cam_rots = est_rots[:, :T] / np.linalg.norm(
             est_rots[:, :T], axis=0, keepdims=True)
