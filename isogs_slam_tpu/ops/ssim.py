@@ -43,7 +43,8 @@ def _band_matrix(n: int, window_size: int, sigma: float, pad_lo: int,
 
 
 def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
-                      padding, sigma: float = 1.5) -> jnp.ndarray:
+                      padding, sigma: float = 1.5,
+                      precision=None) -> jnp.ndarray:
     """img [..., H, W] -> per-channel 2D gaussian filtering.
 
     The gaussian window is rank-1 (outer(g, g)), so the 2D filter is two
@@ -59,9 +60,11 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray,
     gh = jnp.asarray(_band_matrix(W, k, sigma, padding[1][0],
                                   padding[1][1]))
     tmp = jnp.einsum("ih,...hw->...iw", gv, img,
-                     preferred_element_type=img.dtype)
+                     preferred_element_type=img.dtype,
+                     precision=precision)
     return jnp.einsum("jw,...iw->...ij", gh, tmp,
-                      preferred_element_type=img.dtype)
+                      preferred_element_type=img.dtype,
+                      precision=precision)
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
@@ -107,7 +110,17 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
 
     pytorch_msssim asserts the image is larger than (win-1) * 2^4; for
     smaller images the scale count is reduced (weights renormalized) so
-    small-resolution eval runs don't produce NaN."""
+    small-resolution eval runs don't produce NaN.
+
+    Computed in f32 at HIGHEST matmul precision regardless of input
+    dtype: the variance terms (E[x^2] - mu^2) cancel catastrophically
+    when the filter matmuls run at the TPU default precision (f32
+    operands truncated to bf16), and the resulting noisy cs-ratios are
+    upward-biased — measured MS-SSIM values > 1.0 on real TPU runs.
+    This is a metric function (eval-only; the mapping-loss `ssim` path
+    is separate), so the 3-pass f32 emulation cost is irrelevant."""
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
     w = jnp.asarray(_gaussian_window(window_size), img1.dtype)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     smaller = min(img1.shape[-2], img1.shape[-1])
@@ -118,7 +131,8 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
 
     def one_scale(a, b):
         stack = jnp.stack([a, b, a * a, b * b, a * b])
-        f = _depthwise_filter(stack, w, [(0, 0), (0, 0)])
+        f = _depthwise_filter(stack, w, [(0, 0), (0, 0)],
+                              precision=jax.lax.Precision.HIGHEST)
         mu1, mu2 = f[0], f[1]
         mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
         s1 = f[2] - mu1_sq
