@@ -214,8 +214,19 @@ def _dens_for_blocks(table, lists, count, spec: GridSpec, block_chunk: int,
         phi = jnp.stack([px * px, py * py, pz * pz, px * py, px * pz,
                          py * pz, px, py, pz, one], axis=-1)  # [P,10]
         data = table[glist]                                   # [K,21]
-        quad = phi @ data[:, 0:10].T                          # [P,K] (MXU)
-        ball = phi @ data[:, 10:20].T                         # [P,K]
+        # HIGHEST precision is load-bearing: the phi expansion uses
+        # ABSOLUTE coordinates, so the products reach |A|*|p|^2 ~ 1e6-1e7
+        # while the true centered value (p-mu)^T A (p-mu) is O(1). At TPU
+        # default precision the operands truncate to bf16 (~0.8% rel) and
+        # the cancellation error reaches ~1e4 absolute — quad went below
+        # -176, exp overflowed to inf, and marching tets interpolated the
+        # inf corners into NaN vertices (r5s6 chain, 1.1M-Gaussian mesh).
+        hp = jax.lax.Precision.HIGHEST
+        quad = jnp.matmul(phi, data[:, 0:10].T, precision=hp)  # [P,K] MXU
+        ball = jnp.matmul(phi, data[:, 10:20].T, precision=hp)
+        # the form is PSD: clamp away residual f32 cancellation noise so
+        # exp <= 1 always (true density at the center is op * 1)
+        quad = jnp.maximum(quad, 0.0)
         valid = (jnp.arange(glist.shape[0])[None, :] < gcount) & (ball < 0.0)
         dens = jnp.where(valid, data[None, :, 20] * jnp.exp(-0.5 * quad), 0.0)
         return jnp.sum(dens, axis=-1)                         # [P]

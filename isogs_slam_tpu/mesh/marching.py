@@ -111,6 +111,14 @@ def marching_tetrahedra(density: np.ndarray, level: float,
     When native/build.sh has been run, the C++ core (~20x faster, verified
     identical output) is used; pass use_native=False to force Python.
     """
+    density = np.asarray(density, np.float32)
+    # a non-finite grid value would propagate into NaN vertex positions
+    # via the edge interpolation (t = (level - inf)/(x - inf)); sanitize
+    # to large-finite so inf corners behave as "deep inside the surface"
+    # (applies to the native path too — same interpolation formula)
+    if not np.isfinite(density).all():
+        density = np.nan_to_num(density, nan=0.0, posinf=np.float32(1e30),
+                                neginf=np.float32(-1e30))
     if use_native:
         try:
             from ..native_ext import available, marching_tetrahedra_native
@@ -120,7 +128,7 @@ def marching_tetrahedra(density: np.ndarray, level: float,
         except Exception as e:
             print(f"[mesh] native extractor unavailable ({e}); "
                   f"using Python fallback")
-    d = np.asarray(density, np.float32)
+    d = density
     nx, ny, nz = d.shape
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
@@ -295,7 +303,12 @@ def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
     b = verts[faces[:, 1]]
     c = verts[faces[:, 2]]
     areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
-    p = areas / max(areas.sum(), 1e-12)
+    # degenerate meshes (NaN vertices, zero-area faces) must not crash
+    # the chamfer eval: weight only finite positive-area faces
+    areas = np.where(np.isfinite(areas), areas, 0.0)
+    total = areas.sum()
+    p = (areas / total if total > 0
+         else np.full(len(areas), 1.0 / max(len(areas), 1)))
     idx = rng.choice(faces.shape[0], size=n, p=p)
     u = rng.uniform(0, 1, n)
     v = rng.uniform(0, 1, n)
